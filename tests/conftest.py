@@ -1,0 +1,16 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+
+Tests verify numerics (gradient fidelity vs Ridders finite differences) and
+multi-device sharding; both want CPU + x64. Benchmarks (bench.py) run
+separately on the real TPU in f32/bf16.
+
+NOTE: the session environment pins JAX_PLATFORMS to the tunneled TPU and
+ignores the env-var override, so we force the platform through jax.config
+(which wins) before any backend is initialized.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
