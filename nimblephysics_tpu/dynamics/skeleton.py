@@ -1,0 +1,524 @@
+"""Skeleton: static articulated-tree spec + batched differentiable dynamics.
+
+TPU-native re-design of the reference Skeleton/BodyNode machinery
+(dart/dynamics/Skeleton.cpp computeForwardDynamics:13296,
+computeInverseDynamics:13317; BodyNode ABA sweeps, BodyNode.cpp:2046-2159).
+
+Design (SURVEY.md section 7): a skeleton is a *static* topology descriptor
+captured at trace time — joints unroll into straight-line XLA code (no
+ragged control flow), state is plain (q, v) vectors, and everything here is
+a pure function composable with jit/vmap/grad. Dynamics quantities are
+computed matrix-first (dense M, bias C via RNEA; forward dynamics via
+Cholesky solve) because for the target regime — small nv, thousands of
+batched worlds — batched dense linear algebra on the MXU beats a serialized
+O(n) ABA recursion, and the explicit M^-1 is reused by the contact LCP
+(A = J M^-1 J^T) and its gradients.
+
+Conventions: spatial vectors [angular; linear] in the *body frame* of each
+link; world gravity enters as a fictitious base acceleration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nimblephysics_tpu.math import lie
+from nimblephysics_tpu.math.spatial import spatial_inertia_matrix
+from nimblephysics_tpu.dynamics import joints as J
+from nimblephysics_tpu.dynamics.joints import JointSpec
+from nimblephysics_tpu.dynamics.shapes import ShapeSpec
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: jit-static
+class BodySpec:
+    """Static per-body data: inertia + attached shapes.
+
+    Reference parity: dynamics::BodyNode properties + dynamics::Inertia.
+    """
+
+    name: str
+    mass: float
+    com: np.ndarray  # (3,) in body frame
+    inertia: np.ndarray  # (3,3) about COM, body frame
+    shapes: Tuple[ShapeSpec, ...] = ()
+
+
+class Skeleton:
+    """Static articulated tree. One joint per body, parents precede children.
+
+    Builder parity with the reference's createXJointAndBodyNodePair API
+    (dart/dynamics/Skeleton.hpp): `add_joint_and_body`.
+    Hash/eq are identity so a Skeleton can be a jit static argument.
+    """
+
+    def __init__(self, name: str = "skeleton"):
+        self.name = name
+        self.joints: List[JointSpec] = []
+        self.bodies: List[BodySpec] = []
+        self._frozen = False
+
+    # -- builder ----------------------------------------------------------
+
+    def add_joint_and_body(
+        self,
+        joint_type: str,
+        parent: int = -1,
+        name: Optional[str] = None,
+        T_pj: Optional[np.ndarray] = None,
+        T_cj: Optional[np.ndarray] = None,
+        axis: Optional[Sequence] = None,
+        axes: Optional[Sequence] = None,
+        mass: float = 1.0,
+        com: Sequence = (0.0, 0.0, 0.0),
+        inertia: Optional[np.ndarray] = None,
+        shapes: Sequence[ShapeSpec] = (),
+        euler_order: str = "xyz",
+        screw_pitch: float = 0.0,
+        damping: Optional[Sequence] = None,
+        spring_stiffness: Optional[Sequence] = None,
+        rest_position: Optional[Sequence] = None,
+        position_lower: Optional[Sequence] = None,
+        position_upper: Optional[Sequence] = None,
+        velocity_limit: Optional[Sequence] = None,
+        force_limit: Optional[Sequence] = None,
+    ) -> int:
+        """Append a joint + child body; returns the new body index."""
+        assert not self._frozen, "Skeleton already in use (trace-time frozen)"
+        idx = len(self.bodies)
+        assert parent < idx, "parents must be added before children"
+        if axes is None and axis is not None:
+            axes = [axis]
+        axes_np = (
+            np.asarray(axes, dtype=np.float64).reshape(-1, 3)
+            if axes is not None
+            else None
+        )
+        body_name = name or f"body{idx}"
+        spec = JointSpec(
+            joint_type=joint_type,
+            name=f"{body_name}_joint",
+            parent=parent,
+            child=idx,
+            q_index=self.num_dofs,
+            T_pj=np.eye(4) if T_pj is None else np.asarray(T_pj, dtype=np.float64),
+            T_cj=np.eye(4) if T_cj is None else np.asarray(T_cj, dtype=np.float64),
+            axes=axes_np,
+            euler_order=euler_order,
+            screw_pitch=screw_pitch,
+            damping=None if damping is None else np.asarray(damping, np.float64),
+            spring_stiffness=(
+                None
+                if spring_stiffness is None
+                else np.asarray(spring_stiffness, np.float64)
+            ),
+            rest_position=(
+                None if rest_position is None else np.asarray(rest_position, np.float64)
+            ),
+            position_lower=(
+                None if position_lower is None else np.asarray(position_lower, np.float64)
+            ),
+            position_upper=(
+                None if position_upper is None else np.asarray(position_upper, np.float64)
+            ),
+            velocity_limit=(
+                None if velocity_limit is None else np.asarray(velocity_limit, np.float64)
+            ),
+            force_limit=(
+                None if force_limit is None else np.asarray(force_limit, np.float64)
+            ),
+        )
+        if inertia is None:
+            inertia = np.eye(3) * 0.1 * mass
+        body = BodySpec(
+            name=body_name,
+            mass=float(mass),
+            com=np.asarray(com, dtype=np.float64),
+            inertia=np.asarray(inertia, dtype=np.float64),
+            shapes=tuple(shapes),
+        )
+        self.joints.append(spec)
+        self.bodies.append(body)
+        return idx
+
+    # -- static properties --------------------------------------------------
+
+    @property
+    def num_bodies(self) -> int:
+        return len(self.bodies)
+
+    @property
+    def num_dofs(self) -> int:
+        return sum(j.num_dofs for j in self.joints)
+
+    def dof_names(self) -> List[str]:
+        out = []
+        for j in self.joints:
+            for k in range(j.num_dofs):
+                out.append(f"{j.name}_{k}")
+        return out
+
+    def body_index(self, name: str) -> int:
+        for i, b in enumerate(self.bodies):
+            if b.name == name:
+                return i
+        raise KeyError(name)
+
+    def joint_slices(self) -> List[Tuple[int, int]]:
+        return [(j.q_index, j.q_index + j.num_dofs) for j in self.joints]
+
+    # numpy vectors of per-dof coefficients (static constants)
+    def damping_coeffs(self) -> np.ndarray:
+        return (
+            np.concatenate([j.damping_vec() for j in self.joints])
+            if self.joints
+            else np.zeros(0)
+        )
+
+    def spring_stiffnesses(self) -> np.ndarray:
+        return np.concatenate([j.spring_vec() for j in self.joints])
+
+    def rest_positions(self) -> np.ndarray:
+        return np.concatenate([j.rest_vec() for j in self.joints])
+
+    def position_lower_limits(self) -> np.ndarray:
+        return np.concatenate([j.pos_lower_vec() for j in self.joints])
+
+    def position_upper_limits(self) -> np.ndarray:
+        return np.concatenate([j.pos_upper_vec() for j in self.joints])
+
+    def force_limits(self) -> np.ndarray:
+        return np.concatenate([j.force_limit_vec() for j in self.joints])
+
+    def velocity_limits(self) -> np.ndarray:
+        return np.concatenate([j.velocity_limit_vec() for j in self.joints])
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def __repr__(self):
+        return (
+            f"Skeleton({self.name!r}, bodies={self.num_bodies}, "
+            f"dofs={self.num_dofs})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Kinematics
+# ---------------------------------------------------------------------------
+
+
+def _joint_q(skel: Skeleton, q: jnp.ndarray, i: int) -> jnp.ndarray:
+    j = skel.joints[i]
+    return q[j.q_index : j.q_index + j.num_dofs]
+
+
+def relative_transform(spec: JointSpec, q_j: jnp.ndarray) -> jnp.ndarray:
+    """T of child body w.r.t. parent body: T_pj Q(q) T_cj^-1."""
+    dtype = q_j.dtype if q_j.size else jnp.result_type(float)
+    T_pj = jnp.asarray(spec.T_pj, dtype=dtype)
+    T_cj_inv = jnp.asarray(np.linalg.inv(spec.T_cj), dtype=dtype)
+    return T_pj @ J.joint_transform(spec, q_j) @ T_cj_inv
+
+
+def relative_jacobian(spec: JointSpec, q_j: jnp.ndarray) -> jnp.ndarray:
+    """Relative Jacobian in the child body frame: Ad(T_cj) S(q). (6, ndof)."""
+    dtype = q_j.dtype if q_j.size else jnp.result_type(float)
+    Ad_cj = lie.Ad(jnp.asarray(spec.T_cj, dtype=dtype))
+    return Ad_cj @ J.joint_body_jacobian(spec, q_j)
+
+
+def forward_kinematics(skel: Skeleton, q: jnp.ndarray) -> jnp.ndarray:
+    """World transforms of every body, stacked (num_bodies, 4, 4)."""
+    Ts: List[jnp.ndarray] = []
+    for i, spec in enumerate(skel.joints):
+        T_rel = relative_transform(spec, _joint_q(skel, q, i))
+        T = T_rel if spec.parent < 0 else Ts[spec.parent] @ T_rel
+        Ts.append(T)
+    return jnp.stack(Ts) if Ts else jnp.zeros((0, 4, 4), dtype=q.dtype)
+
+
+class Kinematics(Dict):
+    """Plain dict subclass for readable access to kinematics products."""
+
+
+def full_kinematics(
+    skel: Skeleton, q: jnp.ndarray, dq: Optional[jnp.ndarray] = None
+) -> Dict[str, jnp.ndarray]:
+    """FK + body twists + world-frame system Jacobians in one pass.
+
+    Returns dict with:
+      T_wb   (nb, 4, 4)  world transform of each body
+      V      (nb, 6)     body-frame spatial velocity (if dq given)
+      J_world(nb, 6, nv) world-frame (about world origin) system Jacobian:
+                         Ad(T_wb) V_body = J_world @ dq
+    """
+    nv = skel.num_dofs
+    dtype = q.dtype
+    Ts: List[jnp.ndarray] = []
+    Vs: List[jnp.ndarray] = []
+    Jw: List[jnp.ndarray] = []
+    for i, spec in enumerate(skel.joints):
+        q_j = _joint_q(skel, q, i)
+        T_rel = relative_transform(spec, q_j)
+        J_rel = relative_jacobian(spec, q_j)  # (6, nd) child-body frame
+        if spec.parent < 0:
+            T = T_rel
+            Jw_i = jnp.zeros((6, nv), dtype=dtype)
+        else:
+            T = Ts[spec.parent] @ T_rel
+            Jw_i = Jw[spec.parent]
+        AdT = lie.Ad(T)
+        if spec.num_dofs > 0:
+            s, e = spec.q_index, spec.q_index + spec.num_dofs
+            Jw_i = Jw_i.at[:, s:e].add(AdT @ J_rel)
+        Ts.append(T)
+        Jw.append(Jw_i)
+        if dq is not None:
+            V_par = (
+                jnp.zeros(6, dtype=dtype)
+                if spec.parent < 0
+                else lie.Ad(lie.transform_inv(T_rel)) @ Vs[spec.parent]
+            )
+            dq_j = dq[spec.q_index : spec.q_index + spec.num_dofs]
+            Vs.append(V_par + J_rel @ dq_j)
+    out = {
+        "T_wb": jnp.stack(Ts) if Ts else jnp.zeros((0, 4, 4), dtype=dtype),
+        "J_world": jnp.stack(Jw) if Jw else jnp.zeros((0, 6, nv), dtype=dtype),
+    }
+    if dq is not None:
+        out["V"] = jnp.stack(Vs) if Vs else jnp.zeros((0, 6), dtype=dtype)
+    return out
+
+
+def body_com_world(skel: Skeleton, q: jnp.ndarray) -> jnp.ndarray:
+    """World-frame COM position of each body, (nb, 3)."""
+    T = forward_kinematics(skel, q)
+    coms = jnp.stack(
+        [jnp.asarray(b.com, dtype=q.dtype) for b in skel.bodies]
+    )
+    return jax.vmap(lie.transform_point)(T, coms)
+
+
+def com_world(skel: Skeleton, q: jnp.ndarray) -> jnp.ndarray:
+    """Whole-skeleton COM (mass-weighted)."""
+    coms = body_com_world(skel, q)
+    masses = jnp.asarray([b.mass for b in skel.bodies], dtype=q.dtype)
+    return (coms * masses[:, None]).sum(0) / masses.sum()
+
+
+def point_jacobian(
+    J_world: jnp.ndarray, point_world: jnp.ndarray
+) -> jnp.ndarray:
+    """Linear-velocity Jacobian (3, nv) of a world point rigidly attached to
+    a body, from that body's world-frame system Jacobian (6, nv).
+
+    v_point = J_lin + omega x p  ==>  rows = J_world[3:] - [p]x J_world[:3].
+    """
+    return J_world[3:] - lie.skew(point_world) @ J_world[:3]
+
+
+# ---------------------------------------------------------------------------
+# Dynamics: RNEA inverse dynamics, mass matrix, forward dynamics
+# ---------------------------------------------------------------------------
+
+DEFAULT_GRAVITY = np.array([0.0, 0.0, -9.81])
+
+
+def _spatial_inertias(skel: Skeleton, dtype) -> List[jnp.ndarray]:
+    return [
+        spatial_inertia_matrix(
+            jnp.asarray(b.mass, dtype=dtype),
+            jnp.asarray(b.com, dtype=dtype),
+            jnp.asarray(b.inertia, dtype=dtype),
+        )
+        for b in skel.bodies
+    ]
+
+
+def inverse_dynamics(
+    skel: Skeleton,
+    q: jnp.ndarray,
+    dq: jnp.ndarray,
+    ddq: jnp.ndarray,
+    f_ext_body: Optional[jnp.ndarray] = None,
+    gravity: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Recursive Newton-Euler: generalized forces for given accelerations.
+
+    Reference parity: Skeleton::computeInverseDynamics
+    (dart/dynamics/Skeleton.cpp:13317). Gravity enters as a fictitious base
+    acceleration; `f_ext_body` is an optional (nb, 6) array of external
+    wrenches expressed in each body's own frame.
+
+    Pure function; unrolls over the (static) joint list. All quantities are
+    body-frame spatial vectors [w; v].
+    """
+    dtype = q.dtype
+    nv = skel.num_dofs
+    if gravity is None:
+        gravity = jnp.asarray(DEFAULT_GRAVITY, dtype=dtype)
+    else:
+        gravity = jnp.asarray(gravity, dtype=dtype)
+    G = _spatial_inertias(skel, dtype)
+
+    # Forward sweep.
+    T_rels: List[jnp.ndarray] = []
+    Vs: List[jnp.ndarray] = []
+    As: List[jnp.ndarray] = []
+    Jrels: List[jnp.ndarray] = []
+    base_acc = jnp.concatenate([jnp.zeros(3, dtype=dtype), -gravity])
+    for i, spec in enumerate(skel.joints):
+        q_j = _joint_q(skel, q, i)
+        dq_j = dq[spec.q_index : spec.q_index + spec.num_dofs]
+        ddq_j = ddq[spec.q_index : spec.q_index + spec.num_dofs]
+        T_rel = relative_transform(spec, q_j)
+        J_rel = relative_jacobian(spec, q_j)
+        if spec.num_dofs > 0:
+            J_rel_dot = lie.Ad(jnp.asarray(spec.T_cj, dtype=dtype)) @ (
+                J.joint_body_jacobian_dot(spec, q_j, dq_j)
+            )
+        else:
+            J_rel_dot = jnp.zeros((6, 0), dtype=dtype)
+        Ad_inv_Trel = lie.Ad(lie.transform_inv(T_rel))
+        if spec.parent < 0:
+            V_par = jnp.zeros(6, dtype=dtype)
+            A_par = base_acc
+        else:
+            V_par = Vs[spec.parent]
+            A_par = As[spec.parent]
+        sj = J_rel @ dq_j
+        V_i = Ad_inv_Trel @ V_par + sj
+        A_i = (
+            Ad_inv_Trel @ A_par
+            + lie.ad_apply(V_i, sj)
+            + J_rel_dot @ dq_j
+            + J_rel @ ddq_j
+        )
+        T_rels.append(T_rel)
+        Vs.append(V_i)
+        As.append(A_i)
+        Jrels.append(J_rel)
+
+    # Backward sweep.
+    F: List[Optional[jnp.ndarray]] = [None] * skel.num_bodies
+    tau = jnp.zeros(nv, dtype=dtype)
+    for i in reversed(range(skel.num_bodies)):
+        spec = skel.joints[i]
+        Fi = G[i] @ As[i] - lie.dad_apply(Vs[i], G[i] @ Vs[i])
+        if f_ext_body is not None:
+            Fi = Fi - f_ext_body[i]
+        # accumulate already-computed children contributions
+        if F[i] is not None:
+            Fi = Fi + F[i]
+        if spec.parent >= 0:
+            # wrench transmitted to parent: dAd(inv(T_rel)) F_i
+            contrib = lie.Ad(lie.transform_inv(T_rels[i])).T @ Fi
+            F[spec.parent] = (
+                contrib if F[spec.parent] is None else F[spec.parent] + contrib
+            )
+        if spec.num_dofs > 0:
+            s, e = spec.q_index, spec.q_index + spec.num_dofs
+            tau = tau.at[s:e].set(Jrels[i].T @ Fi)
+    return tau
+
+
+def bias_forces(
+    skel: Skeleton,
+    q: jnp.ndarray,
+    dq: jnp.ndarray,
+    f_ext_body: Optional[jnp.ndarray] = None,
+    gravity: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """C(q, dq) including gravity and external forces (zero-acceleration ID).
+
+    Reference parity: Skeleton::getCoriolisAndGravityForces.
+    """
+    return inverse_dynamics(
+        skel, q, dq, jnp.zeros_like(dq), f_ext_body=f_ext_body, gravity=gravity
+    )
+
+
+def mass_matrix(skel: Skeleton, q: jnp.ndarray) -> jnp.ndarray:
+    """Joint-space inertia matrix M(q), (nv, nv), symmetric PD.
+
+    Computed as the (exact) linearization of RNEA in ddq — XLA vectorizes
+    the nv forward-mode passes into batched dense algebra (CRBA-equivalent
+    result; reference: Skeleton::getMassMatrix).
+    """
+    nv = skel.num_dofs
+    zero = jnp.zeros(nv, dtype=q.dtype)
+    # ID(q, 0, a) = M a + g  (affine in a); jacfwd extracts exactly M.
+    M = jax.jacfwd(
+        lambda a: inverse_dynamics(
+            skel, q, zero, a, gravity=jnp.zeros(3, dtype=q.dtype)
+        )
+    )(zero)
+    return 0.5 * (M + M.T)
+
+
+def mass_matrix_inv(skel: Skeleton, q: jnp.ndarray) -> jnp.ndarray:
+    """M(q)^-1 via Cholesky (reference: getInvMassMatrix)."""
+    M = mass_matrix(skel, q)
+    eye = jnp.eye(skel.num_dofs, dtype=q.dtype)
+    cho = jax.scipy.linalg.cho_factor(M)
+    return jax.scipy.linalg.cho_solve(cho, eye)
+
+
+def passive_forces(skel: Skeleton, q: jnp.ndarray, dq: jnp.ndarray) -> jnp.ndarray:
+    """Joint spring + damping generalized forces (added to control).
+
+    Reference parity: per-joint damping/spring terms applied in the
+    reference's forward-dynamics force accumulation.
+    """
+    d = jnp.asarray(skel.damping_coeffs(), dtype=q.dtype)
+    k = jnp.asarray(skel.spring_stiffnesses(), dtype=q.dtype)
+    q0 = jnp.asarray(skel.rest_positions(), dtype=q.dtype)
+    return -d * dq - k * (q - q0)
+
+
+def forward_dynamics(
+    skel: Skeleton,
+    q: jnp.ndarray,
+    dq: jnp.ndarray,
+    tau: jnp.ndarray,
+    f_ext_body: Optional[jnp.ndarray] = None,
+    gravity: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """ddq = M^-1 (tau + passive - C). Smooth (constraint-free) dynamics.
+
+    Reference parity: Skeleton::computeForwardDynamics
+    (dart/dynamics/Skeleton.cpp:13296) — same result as the ABA sweeps,
+    computed matrix-first for the TPU.
+    """
+    M = mass_matrix(skel, q)
+    C = bias_forces(skel, q, dq, f_ext_body=f_ext_body, gravity=gravity)
+    rhs = tau + passive_forces(skel, q, dq) - C
+    cho = jax.scipy.linalg.cho_factor(M)
+    return jax.scipy.linalg.cho_solve(cho, rhs)
+
+
+def integrate_positions(
+    skel: Skeleton, q: jnp.ndarray, dq: jnp.ndarray, dt
+) -> jnp.ndarray:
+    """Per-joint-type explicit position integration (exp-map for ball/free).
+
+    Reference parity: Skeleton::integratePositionsExplicit
+    (dart/dynamics/Skeleton.cpp:9458) + Joint::integratePositionsExplicit.
+    """
+    parts = []
+    for i, spec in enumerate(skel.joints):
+        if spec.num_dofs == 0:
+            continue
+        s, e = spec.q_index, spec.q_index + spec.num_dofs
+        parts.append(J.integrate_positions(spec, q[s:e], dq[s:e], dt))
+    if not parts:
+        return q
+    return jnp.concatenate(parts)
