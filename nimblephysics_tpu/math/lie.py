@@ -114,9 +114,17 @@ def log_map_rot(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     # atan2-based angle: well-conditioned at BOTH theta=0 and theta=pi
-    # (arccos loses ~4 decimal digits near pi in f32).
-    sin_theta_raw = 0.5 * jnp.linalg.norm(antisym, axis=-1)
-    theta = jnp.arctan2(sin_theta_raw, cos_theta)
+    # (arccos loses ~4 decimal digits near pi in f32). Double-where guard:
+    # ||antisym|| has a NaN gradient at 0, which happens at theta = 0 AND
+    # theta = pi — mask the sqrt input in both regimes.
+    asq = jnp.sum(antisym * antisym, axis=-1)
+    a_degenerate = asq < 1e-24
+    sin_theta_raw = 0.5 * jnp.sqrt(jnp.where(a_degenerate, 1.0, asq))
+    theta_generic = jnp.arctan2(sin_theta_raw, cos_theta)
+    theta_degenerate = jnp.where(
+        cos_theta > 0.0, jnp.zeros_like(cos_theta), jnp.full_like(cos_theta, jnp.pi)
+    )
+    theta = jnp.where(a_degenerate, theta_degenerate, theta_generic)
     sin_theta = jnp.sin(theta)
     near_zero = theta < 1e-5
     near_pi = theta > jnp.pi - 1e-3
@@ -136,7 +144,10 @@ def log_map_rot(R: jnp.ndarray) -> jnp.ndarray:
         * jnp.maximum(diag - cos_theta[..., None], 0.0)
         / one_minus_cos[..., None]
     )
-    w_abs = jnp.sqrt(w_sq)
+    # Double-where: sqrt has an infinite gradient at 0; only evaluate it
+    # where the near-pi branch is actually selected.
+    w_sq_safe = jnp.where(near_pi[..., None], w_sq, 1.0)
+    w_abs = jnp.sqrt(w_sq_safe)
     # Determine signs: prefer signs of antisym; fall back to off-diagonal
     # products relative to the largest component.
     sign = jnp.where(antisym >= 0.0, 1.0, -1.0)

@@ -1,0 +1,230 @@
+"""The differentiable timestep — Nimble's core capability, TPU-native.
+
+Reference call stack being re-designed (SURVEY.md section 3.1/3.2):
+  nimble.timestep -> neural::forwardPass -> World::step (forward dynamics,
+  LCP constraint solve, position integration) -> BackpropSnapshot with six
+  analytical Jacobians (dart/neural/BackpropSnapshot.cpp).
+
+Here the whole step is ONE pure, jit/vmap/grad-composable function. The
+smooth parts differentiate by ordinary JAX AD (exactly — RNEA, FK, contact
+geometry are all closed-form differentiable), and the only non-smooth
+piece, the boxed LCP, carries a custom VJP implementing the active-set
+implicit differentiation (constraint/lcp.py — the BackpropSnapshot math).
+`jax.grad` through `timestep` therefore IS the analytical backward pass
+through hard contact, friction, bouncing and joint limits; the six
+timestep Jacobians (pos-pos/pos-vel/vel-pos/vel-vel/force-vel/mass-vel)
+are exposed as `jacfwd`/`jacrev` products on the same function.
+
+Step ordering matches the reference exactly (World::step, World.cpp:221):
+  1. smooth forward dynamics + velocity integration -> v_pre
+  2. collision at the PRE-step positions q_t; LCP on v_pre; impulses
+  3. v_{t+1} = v_pre + M^-1 J^T z
+  4. q_{t+1} integrated from the PRE-step velocity v_t (the Nimble
+     "parallel velocity and position updates" scheme, World.cpp:307-324).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nimblephysics_tpu.collision.collider import Collider, Contacts
+from nimblephysics_tpu.constraint.assembly import ConstraintAssembler
+from nimblephysics_tpu.constraint.lcp import boxed_lcp
+from nimblephysics_tpu.dynamics.skeleton import (
+    bias_forces,
+    mass_matrix,
+    passive_forces,
+)
+from nimblephysics_tpu.simulation.world import (
+    World,
+    world_full_kinematics,
+    world_integrate_positions,
+)
+
+
+class StepResult(NamedTuple):
+    q: jnp.ndarray
+    v: jnp.ndarray
+    # Auxiliary diagnostics (all fixed-shape; zero-sized when contact-free).
+    v_pre: jnp.ndarray  # pre-constraint velocity (reference:
+    # mLastPreConstraintVelocity, World.cpp:238)
+    impulses: jnp.ndarray  # LCP solution z, (n_rows,)
+    contact_points: jnp.ndarray  # (C, 3)
+    contact_normals: jnp.ndarray  # (C, 3)
+    contact_depths: jnp.ndarray  # (C,)
+    contact_forces: jnp.ndarray  # (C, 3) world-frame force on body A
+
+
+class Engine:
+    """Static compiled-step plan for one World: collider + row plan.
+
+    Build once per World (identity-hashed, jit-static); `step` is pure.
+    """
+
+    def __init__(self, world: World):
+        self.world = world
+        self.collider = Collider(world)
+        self.assembler = ConstraintAssembler(world, self.collider)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    @property
+    def num_constraint_rows(self) -> int:
+        return self.assembler.num_rows
+
+    # ------------------------------------------------------------------
+
+    def _world_M_Minv_C(self, q, v):
+        """Block-diagonal M, M^-1 and bias C across skeletons."""
+        w = self.world
+        nv = w.num_dofs
+        dtype = q.dtype
+        g = jnp.asarray(w.gravity, dtype=dtype)
+        M = jnp.zeros((nv, nv), dtype=dtype)
+        Minv = jnp.zeros((nv, nv), dtype=dtype)
+        C = jnp.zeros(nv, dtype=dtype)
+        for skel, (s, e) in zip(w.skeletons, w.dof_slices()):
+            if skel.num_dofs == 0:
+                continue
+            Mk = mass_matrix(skel, q[s:e])
+            cho = jax.scipy.linalg.cho_factor(Mk)
+            eye = jnp.eye(skel.num_dofs, dtype=dtype)
+            M = M.at[s:e, s:e].set(Mk)
+            Minv = Minv.at[s:e, s:e].set(jax.scipy.linalg.cho_solve(cho, eye))
+            C = C.at[s:e].set(bias_forces(skel, q[s:e], v[s:e], gravity=g))
+        return M, Minv, C
+
+    def _passive(self, q, v):
+        w = self.world
+        out = jnp.zeros(w.num_dofs, dtype=q.dtype)
+        for skel, (s, e) in zip(w.skeletons, w.dof_slices()):
+            if skel.num_dofs == 0:
+                continue
+            out = out.at[s:e].set(passive_forces(skel, q[s:e], v[s:e]))
+        return out
+
+    def step(
+        self,
+        q: jnp.ndarray,
+        v: jnp.ndarray,
+        control: jnp.ndarray,
+        z_warm: Optional[jnp.ndarray] = None,
+    ) -> StepResult:
+        """One physics step. Pure; differentiable in (q, v, control).
+
+        `control` is a full generalized-force vector (use
+        World.action_to_forces for RL-style action subsets).
+        """
+        w = self.world
+        dt = w.time_step
+        dtype = q.dtype
+        nrows = self.assembler.num_rows
+        C = self.collider.num_contacts
+
+        # 1. Smooth dynamics -> pre-constraint velocity.
+        _, Minv, bias = self._world_M_Minv_C(q, v)
+        tau = control + self._passive(q, v)
+        v_pre = v + dt * (Minv @ (tau - bias))
+
+        if nrows > 0:
+            # 2. Collision at pre-step q; LCP on pre-constraint velocities.
+            kin = world_full_kinematics(w, q, v)
+            contacts = self.collider.collide(q, T_wb=kin["T_wb"])
+            A, b, mu, Jm, valid = self.assembler.assemble(
+                q, v_pre, contacts, Minv, kin["J_world"]
+            )
+            if z_warm is None:
+                z_warm = jnp.zeros(nrows, dtype=dtype)
+            z = boxed_lcp(self.assembler.meta, A, b, mu, z_warm)
+            # 3. Velocity update from constraint impulses.
+            v_next = v_pre + Minv @ (Jm.T @ z)
+            # World-frame contact force on body A per contact (diagnostic;
+            # reference: Contact.force filled in applyImpulse).
+            if C > 0:
+                from nimblephysics_tpu.constraint.assembly import tangent_basis
+
+                t1, t2 = tangent_basis(contacts.normal)
+                zc = z[: 3 * C].reshape(C, 3)
+                f_world = (
+                    contacts.normal * zc[:, 0:1]
+                    + t1 * zc[:, 1:2]
+                    + t2 * zc[:, 2:3]
+                ) / dt
+            else:
+                f_world = jnp.zeros((0, 3), dtype=dtype)
+            cp, cn, cd = contacts.point, contacts.normal, contacts.depth
+        else:
+            v_next = v_pre
+            z = jnp.zeros((0,), dtype=dtype)
+            cp = jnp.zeros((0, 3), dtype=dtype)
+            cn = jnp.zeros((0, 3), dtype=dtype)
+            cd = jnp.zeros((0,), dtype=dtype)
+            f_world = jnp.zeros((0, 3), dtype=dtype)
+
+        # 4. Position integration (parallel scheme: pre-step velocity v_t).
+        v_for_pos = v if w.parallel_velocity_and_position_updates else v_next
+        q_next = world_integrate_positions(w, q, v_for_pos, dt)
+
+        return StepResult(
+            q=q_next,
+            v=v_next,
+            v_pre=v_pre,
+            impulses=z,
+            contact_points=cp,
+            contact_normals=cn,
+            contact_depths=cd,
+            contact_forces=f_world,
+        )
+
+    # -- RL-style state/action step (reference: World.hpp:471-523) --------
+
+    def state_step(self, state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+        nv = self.world.num_dofs
+        if state.shape[-1] != 2 * nv:
+            raise ValueError(
+                f"state has {state.shape[-1]} entries; world "
+                f"{self.world.name!r} expects 2*num_dofs = {2 * nv} "
+                "([positions; velocities])"
+            )
+        if action.shape[-1] != self.world.action_size:
+            raise ValueError(
+                f"action has {action.shape[-1]} entries; world "
+                f"{self.world.name!r} expects action_size = "
+                f"{self.world.action_size} (see World.set_action_space)"
+            )
+        q, v = state[:nv], state[nv:]
+        control = self.world.action_to_forces(action)
+        res = self.step(q, v, control)
+        return jnp.concatenate([res.q, res.v])
+
+
+# Engine cache: one static plan per World object.
+_ENGINES: Dict[int, Engine] = {}
+
+
+def get_engine(world: World) -> Engine:
+    eng = _ENGINES.get(id(world))
+    if eng is None:
+        eng = Engine(world)
+        _ENGINES[id(world)] = eng
+    return eng
+
+
+def timestep(
+    world: World, state: jnp.ndarray, action: jnp.ndarray
+) -> jnp.ndarray:
+    """`nimble.timestep(world, state, action)` parity entry point.
+
+    Reference: python/nimblephysics/timestep.py:63-69 — one differentiable
+    physics step as a pure function of [positions; velocities] and action.
+    Compose freely with jit / vmap / grad / scan.
+    """
+    return get_engine(world).state_step(state, action)

@@ -1,0 +1,259 @@
+"""World: container of skeletons + solver config + state/action API.
+
+TPU-native re-design of the reference World (dart/simulation/World.hpp:
+state vectors :231-468, RL state/action API :471-523, gradient knobs
+:636-713, step loop World.cpp:221-254). The World object is a *static*
+spec (hashable by identity, usable as a jit static argument); all dynamic
+state lives in plain (q, v) arrays so stepping is a pure function.
+
+The timestep itself lives in neural/timestep.py (it owns the custom-VJP
+contact gradients); this module provides the structure: concatenated dof
+bookkeeping across skeletons, per-skeleton smooth dynamics, position
+integration with the reference's "parallel velocity and position updates"
+scheme (q_{t+1} integrated with the PRE-step velocity v_t,
+World.cpp:307-324), and the RL-style state/action accessors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nimblephysics_tpu.dynamics.skeleton import (
+    Skeleton,
+    bias_forces,
+    forward_dynamics,
+    forward_kinematics,
+    full_kinematics,
+    integrate_positions as skel_integrate_positions,
+    mass_matrix,
+    passive_forces,
+)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SolverConfig:
+    """Contact/LCP solver knobs (defaults mirror the reference).
+
+    Reference parity: ContactConstraint statics (DART_ERP=0.01,
+    DART_MAX_ERV=1e-3, DART_CFM=1e-5, bounce threshold 0.1, max bounce 100,
+    friction/restitution activation thresholds 1e-3) and World knobs
+    (penetration correction off, contact clipping depth 0.03,
+    fallback CFM 1e-4 — World.cpp:82-87).
+    """
+
+    pgs_iterations: int = 32
+    cfm: float = 0.0
+    fallback_cfm: float = 1e-4
+    error_allowance: float = 0.0
+    error_reduction_parameter: float = 0.01
+    max_error_reduction_velocity: float = 1e-3
+    bouncing_velocity_threshold: float = 0.1
+    max_bouncing_velocity: float = 100.0
+    friction_threshold: float = 1e-3
+    restitution_threshold: float = 1e-3
+    penetration_correction_enabled: bool = False
+    contact_clipping_depth: float = 0.03
+    # Activation margin for joint-limit constraint rows.
+    joint_limit_margin: float = 0.0
+
+
+class World:
+    """Static world spec: skeletons, gravity, dt, solver config.
+
+    Reference parity for the accessor surface of simulation::World
+    (getState/setState layout = [positions; velocities], action =
+    control forces on `action_indices`).
+    """
+
+    def __init__(
+        self,
+        name: str = "world",
+        gravity: Sequence[float] = (0.0, 0.0, -9.81),
+        time_step: float = 0.001,
+        solver: Optional[SolverConfig] = None,
+    ):
+        self.name = name
+        self.gravity = np.asarray(gravity, dtype=np.float64)
+        self.time_step = float(time_step)
+        self.solver = solver or SolverConfig()
+        self.skeletons: List[Skeleton] = []
+        self._action_indices: Optional[np.ndarray] = None
+        # Reference-parity integration-scheme knob (World.cpp:82: true).
+        self.parallel_velocity_and_position_updates = True
+        # Max contact slots override (None = static pair enumeration).
+        self.max_contacts: Optional[int] = None
+
+    # -- construction ------------------------------------------------------
+
+    def add_skeleton(self, skel: Skeleton) -> int:
+        self.skeletons.append(skel)
+        return len(self.skeletons) - 1
+
+    # -- static bookkeeping --------------------------------------------------
+
+    @property
+    def num_dofs(self) -> int:
+        return sum(s.num_dofs for s in self.skeletons)
+
+    @property
+    def num_bodies(self) -> int:
+        return sum(s.num_bodies for s in self.skeletons)
+
+    def dof_offsets(self) -> List[int]:
+        offs, c = [], 0
+        for s in self.skeletons:
+            offs.append(c)
+            c += s.num_dofs
+        return offs
+
+    def body_offsets(self) -> List[int]:
+        offs, c = [], 0
+        for s in self.skeletons:
+            offs.append(c)
+            c += s.num_bodies
+        return offs
+
+    def dof_slices(self) -> List[Tuple[int, int]]:
+        out, c = [], 0
+        for s in self.skeletons:
+            out.append((c, c + s.num_dofs))
+            c += s.num_dofs
+        return out
+
+    # -- action space (reference: World.hpp:471-523) -------------------------
+
+    def set_action_space(self, indices: Sequence[int]) -> None:
+        self._action_indices = np.asarray(indices, dtype=np.int32)
+
+    @property
+    def action_indices(self) -> np.ndarray:
+        if self._action_indices is None:
+            return np.arange(self.num_dofs, dtype=np.int32)
+        return self._action_indices
+
+    @property
+    def action_size(self) -> int:
+        return len(self.action_indices)
+
+    @property
+    def state_size(self) -> int:
+        return 2 * self.num_dofs
+
+    def action_to_forces(self, action: jnp.ndarray) -> jnp.ndarray:
+        """Scatter an action vector into a full control-force vector."""
+        tau = jnp.zeros(self.num_dofs, dtype=action.dtype)
+        return tau.at[jnp.asarray(self.action_indices)].set(action)
+
+    def forces_to_action(self, tau: jnp.ndarray) -> jnp.ndarray:
+        return tau[jnp.asarray(self.action_indices)]
+
+    # -- limits (concatenated; reference World.hpp:231-468) ------------------
+
+    def position_lower_limits(self) -> np.ndarray:
+        return np.concatenate(
+            [s.position_lower_limits() for s in self.skeletons]
+        ) if self.skeletons else np.zeros(0)
+
+    def position_upper_limits(self) -> np.ndarray:
+        return np.concatenate(
+            [s.position_upper_limits() for s in self.skeletons]
+        ) if self.skeletons else np.zeros(0)
+
+    def force_limits(self) -> np.ndarray:
+        return np.concatenate([s.force_limits() for s in self.skeletons])
+
+    def velocity_limits(self) -> np.ndarray:
+        return np.concatenate([s.velocity_limits() for s in self.skeletons])
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def __repr__(self):
+        return (
+            f"World({self.name!r}, skeletons={len(self.skeletons)}, "
+            f"dofs={self.num_dofs})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# World-level pure functions (concatenate per-skeleton quantities)
+# ---------------------------------------------------------------------------
+
+
+def split_state(world: World, state: jnp.ndarray):
+    nv = world.num_dofs
+    return state[:nv], state[nv:]
+
+
+def merge_state(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([q, v])
+
+
+def world_fk(world: World, q: jnp.ndarray) -> jnp.ndarray:
+    """World transforms of all bodies across skeletons, (NB, 4, 4)."""
+    Ts = []
+    for skel, (s, e) in zip(world.skeletons, world.dof_slices()):
+        Ts.append(forward_kinematics(skel, q[s:e]))
+    return jnp.concatenate(Ts, axis=0)
+
+
+def world_full_kinematics(world: World, q: jnp.ndarray, dq: jnp.ndarray):
+    """FK + twists + *world-dof-width* system Jacobians for all bodies."""
+    nv = world.num_dofs
+    T_list, V_list, J_list = [], [], []
+    for skel, (s, e) in zip(world.skeletons, world.dof_slices()):
+        kin = full_kinematics(skel, q[s:e], dq[s:e])
+        T_list.append(kin["T_wb"])
+        V_list.append(kin["V"])
+        nb = skel.num_bodies
+        Jfull = jnp.zeros((nb, 6, nv), dtype=q.dtype)
+        Jfull = Jfull.at[:, :, s:e].set(kin["J_world"])
+        J_list.append(Jfull)
+    return {
+        "T_wb": jnp.concatenate(T_list, axis=0),
+        "V": jnp.concatenate(V_list, axis=0),
+        "J_world": jnp.concatenate(J_list, axis=0),
+    }
+
+
+def world_mass_matrix(world: World, q: jnp.ndarray) -> jnp.ndarray:
+    """Block-diagonal world mass matrix."""
+    nv = world.num_dofs
+    M = jnp.zeros((nv, nv), dtype=q.dtype)
+    for skel, (s, e) in zip(world.skeletons, world.dof_slices()):
+        M = M.at[s:e, s:e].set(mass_matrix(skel, q[s:e]))
+    return M
+
+
+def world_forward_dynamics(
+    world: World, q: jnp.ndarray, dq: jnp.ndarray, tau: jnp.ndarray
+) -> jnp.ndarray:
+    """Unconstrained accelerations, per skeleton (block-diagonal solve).
+
+    Reference parity: the per-skeleton computeForwardDynamics +
+    integrateVelocities loop at the top of World::step (World.cpp:225-233).
+    """
+    g = jnp.asarray(world.gravity, dtype=q.dtype)
+    outs = []
+    for skel, (s, e) in zip(world.skeletons, world.dof_slices()):
+        outs.append(
+            forward_dynamics(skel, q[s:e], dq[s:e], tau[s:e], gravity=g)
+        )
+    return jnp.concatenate(outs)
+
+
+def world_integrate_positions(
+    world: World, q: jnp.ndarray, dq: jnp.ndarray, dt
+) -> jnp.ndarray:
+    outs = []
+    for skel, (s, e) in zip(world.skeletons, world.dof_slices()):
+        outs.append(skel_integrate_positions(skel, q[s:e], dq[s:e], dt))
+    return jnp.concatenate(outs)

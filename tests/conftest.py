@@ -12,5 +12,6 @@ ignores the env-var override, so we force the platform through jax.config
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+import os
+jax.config.update("jax_num_cpu_devices", int(os.environ.get("NT_TEST_DEVICES", "8")))
 jax.config.update("jax_enable_x64", True)

@@ -133,8 +133,11 @@ def free_sphere(radius=0.1, mass=1.0, friction=1.0, restitution=0.0):
     return sk
 
 
-def ground_plane(mu=1.0):
-    """Static (weld-rooted) ground: z = 0 plane."""
+def ground_plane(mu=1.0, restitution=1.0):
+    """Static (weld-rooted) ground: z = 0 plane.
+
+    Ground restitution defaults to 1 so the pair coefficient (product rule)
+    equals the dynamic object's own restitution."""
     sk = Skeleton("ground")
     sk.add_joint_and_body(
         WELD,
@@ -142,7 +145,12 @@ def ground_plane(mu=1.0):
         name="ground",
         mass=1.0,
         shapes=(
-            ShapeSpec("plane", np.array([0.0, 0.0, 1.0, 0.0]), friction=mu),
+            ShapeSpec(
+                "plane",
+                np.array([0.0, 0.0, 1.0, 0.0]),
+                friction=mu,
+                restitution=restitution,
+            ),
         ),
     )
     return sk
