@@ -94,7 +94,11 @@ class ConstraintAssembler:
         self.meta = LcpMeta(
             findex=findex,
             is_friction=is_friction,
-            iterations=world.solver.pgs_iterations,
+            iterations=world.solver.lcp_iterations,
+            solver=world.solver.lcp_solver,
+            # Clamping count is bounded by the impulse-space rank (~nv);
+            # gather the pinned solve to this static size (TPU speed).
+            k_active=min(n, max(16, 2 * world.num_dofs + 8)),
         )
 
     @property
@@ -145,10 +149,15 @@ class ConstraintAssembler:
         q: jnp.ndarray,
         v_pre: jnp.ndarray,
         contacts: Contacts,
-        Minv: jnp.ndarray,
         J_world: jnp.ndarray,
     ):
-        """Build masked (A, b, mu_rows, J_masked, valid) for the boxed LCP.
+        """Build masked (J_masked, b, mu_rows, valid) for the boxed LCP.
+
+        The Delassus operator A = J M^-1 J^T is NEVER materialized: the
+        solver consumes the factored form F = J L^-T built by the engine
+        (see constraint/lcp.py — rank(A) <= nv, and the n x n matrix was
+        pure HBM waste). Invalid rows are zeroed (degenerate diagonal ->
+        NOT_CLAMPING -> pinned to z = 0).
 
         b follows the reference convention b = -(J v) + bounce
         (ContactConstraint::getInformation/getRelVelocity): restitution
@@ -242,14 +251,10 @@ class ConstraintAssembler:
         b = jnp.concatenate(b_parts)
         mu = jnp.concatenate(mu_parts)
 
-        # Mask invalid rows out of J (zero rows), then pin their LCP vars.
+        # Mask invalid rows out of J (zero rows -> degenerate diagonal ->
+        # NOT_CLAMPING -> z pinned to 0), and zero their b/mu.
         Jm = jnp.where(valid[:, None], J, 0.0)
-        A = Jm @ Minv @ Jm.T
-        if cfg.cfm > 0.0:
-            A = A + cfg.cfm * jnp.eye(n, dtype=dtype)
         vf = valid.astype(dtype)
-        mask2 = vf[:, None] * vf[None, :]
-        A = A * mask2 + jnp.diag(1.0 - vf)
         b = b * vf
         mu = mu * vf
-        return A, b, mu, Jm, valid
+        return Jm, b, mu, valid

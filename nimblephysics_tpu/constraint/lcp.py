@@ -1,40 +1,40 @@
-"""Batched boxed LCP: fixed-iteration PGS + differentiable active-set polish.
+"""Batched boxed LCP in factored (low-rank) form, with a differentiable
+active-set polish.
 
 TPU-native re-design of the reference contact solve
 (dart/constraint/BoxedLcpConstraintSolver.cpp: buildLcpInputs:190,
 solveLcp:352 — Dantzig pivoting with PGS/CFM fallbacks) and of its gradient
 machinery (dart/neural/ConstrainedGroupGradientMatrices.cpp:482
 `constructMatrices` CLAMPING / UPPER_BOUND / NOT_CLAMPING classification;
-dart/neural/BackpropSnapshot.cpp:868-923 dQ formulas). Pivoting solvers are
-branch-heavy and hostile to jit/vmap; instead the solve is staged so the
-*entire* gradient path is ordinary JAX AD:
+dart/neural/BackpropSnapshot.cpp:868-923 dQ formulas).
 
-  1. PGS (fixed iterations, under stop_gradient): find the active set of
-       w = A z - b,  0 <= z_n,  |z_f| <= mu z_{findex}.
-  2. Classify rows CLAMPING / UPPER_BOUND / NOT_CLAMPING from the PGS
-     solution (discrete masks, stop_gradient) with the reference's
-     tie-breaks: zero-force zero-velocity rows stay CLAMPING so static
-     friction remains differentiable; near-zero A columns are NOT_CLAMPING
-     (ConstrainedGroupGradientMatrices.cpp:494-611).
-  3. Polish: exactly re-solve the pinned clamping subsystem
-       Q z_C = b_C,   Q = (A P)|_C,
-     with P = identity on CLAMPING rows + signed-mu coupling on UPPER_BOUND
-     friction rows (the reference's E matrix), via RIDGE-regularized least
-     squares — redundant coplanar contacts make Q singular, and the
-     min-norm solution is the idiomatic analog of the reference's
-     `opportunisticallyStandardizeResults` (ConstrainedGroupGradient
-     Matrices.hpp:103-115: "least-squares-minimal LCP solution for
-     determinism"). This step is PLAIN DIFFERENTIABLE JAX: jax.grad through
-     it IS the active-set implicit derivative (BackpropSnapshot math),
-     consistent with the forward value to machine precision, and it
-     furnishes mu-gradients for free (beyond the reference).
-  4. Accept the polished solution only where it satisfies the boxed LCP;
-     otherwise keep the (gradient-stopped) PGS iterate — matching the
-     reference's guard that standardization never degrade the solution.
+Key TPU design decisions:
 
-Everything is masked arithmetic with static shapes: classification under
-vmap is per-world boolean masks, and the dense solves are small batched
-matmuls — exactly what the MXU wants.
+  * FACTORED OPERATOR. The Delassus matrix A = J M^-1 J^T has rank <= nv
+    (the world's dof count), so the solver never materializes the n x n
+    matrix: it works with F = J L^-T (n x r, M = L L^T), and A y =
+    F (F^T y) + cfm y. For a half-cheetah (n = 123 rows, r = 9) this cuts
+    per-world memory from n^2 to n*r — HBM bandwidth is the TPU
+    bottleneck, and the n^2 form dominated the whole step cost.
+  * The iterative seed is APGD (one pair of skinny matvecs per iteration,
+    MXU-friendly) or row-sequential PGS kept O(n*r) per sweep via the
+    running projection u = F^T z.
+  * Active-set polish: classify rows from the seed solution (discrete,
+    stop_gradient) with the reference's tie-breaks, run a few rounds of
+    masked-Dantzig refinement, then exactly re-solve the pinned clamping
+    system — GATHERED to a static K x K block (clamping count is
+    rank-bounded) via one-hot matmuls, ridge-regularized for redundant
+    coplanar manifolds (the analog of the reference's least-squares
+    `opportunisticallyStandardizeResults`). The final solve is plain
+    differentiable JAX: jax.grad through it IS the active-set implicit
+    derivative (the BackpropSnapshot math), exactly consistent with the
+    forward value, with mu-gradients for free.
+  * A solution is accepted only if it satisfies the boxed LCP; otherwise
+    the (gradient-stopped) seed iterate is kept.
+
+Everything is masked arithmetic with static shapes — classification under
+vmap is per-world boolean masks, and all dense algebra is small batched
+matmuls.
 """
 
 from __future__ import annotations
@@ -57,58 +57,122 @@ class LcpMeta:
 
     findex: np.ndarray  # (n,) int32
     is_friction: np.ndarray  # (n,) bool
-    iterations: int = 32
-    tol: float = 1e-9  # classification tolerance
-    ridge: float = 1e-10  # relative Tikhonov regularization of the polish
-    refine_rounds: int = 4  # active-set refinement rounds (masked Dantzig)
+    iterations: int = 64
+    tol: float = 1e-9  # classification tolerance (floored per dtype)
+    ridge: float = 1e-10  # relative Tikhonov regularization (floored per dtype)
+    refine_rounds: int = 6  # active-set refinement rounds (masked Dantzig)
+    k_active: int = 0  # gathered active-set size (0 = full n); set to
+    # ~2*nv+8 by the assembler — clamping count is rank-bounded
+    solver: str = "apgd"  # iterative seed solver: "apgd" (batched matvecs
+    # -> MXU) or "pgs" (row sweeps, O(n r) via running u = F^T z)
 
     @property
     def n(self) -> int:
         return len(self.findex)
 
 
-def _pgs(meta: LcpMeta, A: jnp.ndarray, b: jnp.ndarray, mu: jnp.ndarray,
-         z0: jnp.ndarray) -> jnp.ndarray:
-    """Fixed-iteration projected Gauss-Seidel (reference fallback solver:
-    PgsBoxedLcpSolver — here the primary, since fixed iteration counts map
-    to jit). Rows unroll statically; sweeps run under lax.scan."""
+def _dtype_tol(meta: LcpMeta, dtype) -> float:
+    eps = float(jnp.finfo(dtype).eps)
+    return max(meta.tol, 100.0 * eps)
+
+
+def _dtype_ridge(meta: LcpMeta, dtype) -> float:
+    eps = float(jnp.finfo(dtype).eps)
+    return max(meta.ridge, 50.0 * eps)
+
+
+def _Av(F, cfm, y):
+    """A y = F (F^T y) + cfm y without materializing A."""
+    u = jnp.einsum("...nr,...n->...r", F, y)
+    return jnp.einsum("...nr,...r->...n", F, u) + cfm * y
+
+
+def _diag_A(F, cfm):
+    return jnp.sum(F * F, axis=-1) + cfm
+
+
+def _pgs(meta: LcpMeta, F, cfm, b, mu, z0):
+    """Row-sequential projected Gauss-Seidel on the factored operator:
+    maintains u = F^T z so each row update is O(r)
+    (reference fallback solver: PgsBoxedLcpSolver)."""
     n = meta.n
-    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    diag = _diag_A(F, cfm)
     inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
     isf = meta.is_friction
     fidx = meta.findex
 
-    def sweep(z, _):
+    def sweep(carry, _):
+        z, u = carry
         for i in range(n):
-            r = b[..., i] - jnp.einsum("...j,...j->...", A[..., i, :], z)
-            zi = z[..., i] + r * inv_diag[..., i]
+            Fi = F[..., i, :]
+            Az_i = jnp.einsum("...r,...r->...", Fi, u) + cfm * z[..., i]
+            zi = z[..., i] + (b[..., i] - Az_i) * inv_diag[..., i]
             if isf[i]:
                 bound = mu[..., i] * z[..., fidx[i]]
                 zi = jnp.clip(zi, -bound, bound)
             else:
                 zi = jnp.maximum(zi, 0.0)
+            u = u + Fi * (zi - z[..., i])[..., None]
             z = z.at[..., i].set(zi)
-        return z, None
+        return (z, u), None
 
-    z, _ = jax.lax.scan(sweep, z0, None, length=meta.iterations)
+    u0 = jnp.einsum("...nr,...n->...r", F, z0)
+    (z, _), _ = jax.lax.scan(sweep, (z0, u0), None, length=meta.iterations)
     return z
 
 
-def _classify(meta: LcpMeta, A, b, mu, z):
-    """CLAMPING / UPPER_BOUND masks from a solved LCP (discrete)."""
-    tol = meta.tol
-    w = jnp.einsum("...ij,...j->...i", A, z) - b
+def _apgd(meta: LcpMeta, F, cfm, b, mu, z0):
+    """Accelerated projected gradient (Nesterov) on 0.5 z'Az - b'z over the
+    boxed set; two skinny matvecs per iteration. Only needs to identify
+    the active set — the refinement supplies the exact solution."""
+    isf = jnp.asarray(meta.is_friction)
+    fidx = jnp.asarray(np.maximum(meta.findex, 0))
+
+    # Spectral-norm upper bound via a few power iterations (cheap skinny
+    # matvecs). AD-safe at F = 0 (no active contacts): norms guarded with
+    # the double-where trick, step floored by the diagonal scale.
+    v = jnp.ones_like(b)
+    for _ in range(6):
+        v2 = _Av(F, cfm, v)
+        n2 = jnp.sum(v2 * v2, axis=-1, keepdims=True)
+        zero = n2 < 1e-24
+        v = jnp.where(zero, 0.0, v2 / jnp.sqrt(jnp.where(zero, 1.0, n2)))
+    ray = jnp.einsum("...n,...n->...", v, _Av(F, cfm, v))
+    L = jnp.maximum(ray * 1.05, jnp.max(_diag_A(F, cfm), axis=-1)) + 1e-9
+    step = 1.0 / L
+
+    def proj(y):
+        zn = jnp.where(isf, y, jnp.maximum(y, 0.0))
+        bound = mu * jnp.maximum(zn[..., fidx], 0.0)
+        return jnp.where(isf, jnp.clip(y, -bound, bound), zn)
+
+    def body(carry, _):
+        z, z_prev, t = carry
+        beta = (t - 1.0) / (t + 2.0)
+        y = z + beta * (z - z_prev)
+        g = _Av(F, cfm, y) - b
+        z_new = proj(y - step[..., None] * g)
+        return (z_new, z, t + 1.0), None
+
+    (z, _, _), _ = jax.lax.scan(
+        body, (z0, z0, jnp.zeros(b.shape[:-1], dtype=b.dtype)), None,
+        length=meta.iterations,
+    )
+    return z
+
+
+def _classify(meta: LcpMeta, F, cfm, b, mu, z):
+    """CLAMPING / UPPER_BOUND masks from a solved LCP (discrete), with the
+    reference tie-breaks (zero/zero -> CLAMPING :507-513; degenerate
+    diagonal -> NOT_CLAMPING :564-580)."""
+    tol = _dtype_tol(meta, z.dtype)
+    w = _Av(F, cfm, z) - b
     isf = jnp.asarray(meta.is_friction)
     fidx = jnp.asarray(np.maximum(meta.findex, 0))
     bound = mu * z[..., fidx]
+    degenerate = _diag_A(F, cfm) < 1e-9
 
-    col_norm = jnp.linalg.norm(A, axis=-2)
-    degenerate = col_norm < 1e-9
-
-    # Normal / joint-limit rows: active if pushing, or the zero/zero
-    # tie-break (reference :507-513).
     n_clamp = (z > tol) | (jnp.abs(w) < tol)
-    # Friction rows.
     no_normal = bound <= tol
     at_bound = (~no_normal) & (jnp.abs(z) >= bound - tol)
     f_clamp = (~no_normal) & (~at_bound)
@@ -118,134 +182,185 @@ def _classify(meta: LcpMeta, A, b, mu, z):
     return clamping, upper
 
 
-def _build_P(meta: LcpMeta, mu, sign_u, clamping, upper, dtype):
-    """P maps clamping impulses to all rows: identity on C, signed-mu
-    coupling on UB friction rows (the reference's E matrix)."""
-    n = meta.n
-    c = clamping.astype(dtype)
-    batch = c.shape[:-1]
-    P = jnp.zeros(batch + (n, n), dtype=dtype)
-    idx = jnp.arange(n)
-    P = P.at[..., idx, idx].set(c)
-    fidx = jnp.asarray(np.maximum(meta.findex, 0))
-    coeff = jnp.where(upper, sign_u * mu, jnp.zeros_like(mu))
-    norm_clamp = clamping.astype(dtype)[..., fidx]
-    P = P.at[..., idx, fidx].add(coeff * norm_clamp)
-    return P
-
-
 def _ridge_solve(meta: LcpMeta, M, rhs):
     """Least-squares solve of M x = rhs via Tikhonov-regularized normal
-    equations (differentiable; min-norm-ish for singular M)."""
-    n = meta.n
+    equations (differentiable; min-norm-ish for singular M — the analog of
+    the reference's least-squares standardization)."""
+    k = M.shape[-1]
     MtM = jnp.swapaxes(M, -1, -2) @ M
-    scale = jnp.trace(MtM, axis1=-2, axis2=-1) / n + 1.0
-    eps = meta.ridge * scale
-    reg = MtM + eps[..., None, None] * jnp.eye(n, dtype=M.dtype)
+    scale = jnp.trace(MtM, axis1=-2, axis2=-1) / k + 1.0
+    eps = _dtype_ridge(meta, M.dtype) * scale
+    reg = MtM + eps[..., None, None] * jnp.eye(k, dtype=M.dtype)
     Mtr = jnp.einsum("...ji,...j->...i", M, rhs)
     cho = jax.scipy.linalg.cho_factor(reg)
-    return jax.scipy.linalg.cho_solve(cho, Mtr)
+    x = jax.scipy.linalg.cho_solve(cho, Mtr)
+    # One step of iterative refinement on the normal equations: cancels
+    # most of the ridge bias so the complementarity residual of the
+    # pinned solution stays at solver precision.
+    r = Mtr - jnp.einsum(
+        "...ji,...jk,...k->...i", M, M, x
+    )
+    return x + jax.scipy.linalg.cho_solve(cho, r)
 
 
-def _lcp_valid(meta: LcpMeta, A, b, mu, z):
-    """Is z a valid boxed-LCP solution (within tolerance)?"""
-    w = jnp.einsum("...ij,...j->...i", A, z) - b
+def _lcp_valid(meta: LcpMeta, F, cfm, b, mu, z):
+    """Is z a valid boxed-LCP solution? Tolerances are SCALE-AWARE: the
+    residual w carries the ridge bias of the standardized solve, which
+    grows with the impulse/velocity magnitudes — an absolute threshold
+    wrongly rejects heavy resting stacks (and silently kills their
+    gradients via the seed fallback)."""
+    w = _Av(F, cfm, z) - b
     isf = jnp.asarray(meta.is_friction)
     fidx = jnp.asarray(np.maximum(meta.findex, 0))
     bound = mu * z[..., fidx]
-    tol = 1e-7
-    ok_n = jnp.where(isf, True, (z >= -tol) & (w >= -10 * tol))
-    ok_f = jnp.where(isf, jnp.abs(z) <= bound + tol, True)
+    tol = max(1e-7, 1000.0 * float(jnp.finfo(z.dtype).eps))
+    scale_w = 1.0 + jnp.max(jnp.abs(b), axis=-1, keepdims=True)
+    scale_z = 1.0 + jnp.max(jnp.abs(z), axis=-1, keepdims=True)
+    ok_n = jnp.where(
+        isf, True, (z >= -tol * scale_z) & (w >= -10 * tol * scale_w)
+    )
+    ok_f = jnp.where(isf, jnp.abs(z) <= bound + tol * scale_z, True)
     finite = jnp.all(jnp.isfinite(z), axis=-1)
     return jnp.all(ok_n & ok_f, axis=-1) & finite
 
 
-def _pinned_solve(meta: LcpMeta, A, b, mu, clamping, upper, sign_u):
-    """Exactly solve the pinned active-set system; returns z over all rows."""
-    dtype = A.dtype
+def _pinned_solve(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u):
+    """Exactly solve the pinned active-set system; returns z over all rows.
+
+    With P = diag(c) + E (UB friction coupled to its normal row by
+    signed mu), the clamping system is (A P)|_C z_C = b_C. In factored
+    form A P = F H^T + cfm P with H = P^T F, and the system is GATHERED
+    to a static K x K block (K = meta.k_active; clamping count is bounded
+    by rank(A) <= r) via one-hot matmuls — MXU-friendly, no n x n objects.
+    """
+    dtype = F.dtype
     n = meta.n
+    r = F.shape[-1]
+    K = min(meta.k_active, n) if meta.k_active else n
     S = clamping.astype(dtype)
-    P = _build_P(meta, mu, sign_u, clamping, upper, dtype)
-    eye = jnp.eye(n, dtype=dtype)
-    M = S[..., :, None] * (A @ P) * S[..., None, :] + (
-        eye - S[..., :, None] * eye
+    fidx_np = np.maximum(meta.findex, 0)
+    fidx = jnp.asarray(fidx_np)
+    coeff = jnp.where(upper, sign_u * mu, jnp.zeros_like(mu)) * S[..., fidx]
+
+    # H = P^T F: rows combine as H_j = c_j F_j + sum_{u: findex(u)=j}
+    # coeff_u F_u. The assembler's fixed layout (normal at 3c, frictions
+    # at 3c+1/3c+2 with findex = 3c) makes this static slicing — no TPU
+    # scatters. Fallback: one-hot matmul with a static coupling matrix.
+    H = F * S[..., :, None]
+    fr = np.where(meta.findex >= 0)[0]
+    if len(fr) > 0:
+        C3 = int(fr.max()) + 1  # contact block size (3 * num_contacts)
+        contact_layout = (
+            C3 % 3 == 0
+            and np.array_equal(fr, np.setdiff1d(np.arange(C3), np.arange(0, C3, 3)))
+            and np.array_equal(fidx_np[fr].reshape(-1, 2).T[0], np.arange(0, C3, 3))
+            and np.array_equal(fidx_np[fr].reshape(-1, 2).T[1], np.arange(0, C3, 3))
+        )
+        contrib = F * coeff[..., :, None]
+        if contact_layout:
+            Hn = (
+                H[..., 0:C3:3, :]
+                + contrib[..., 1:C3:3, :]
+                + contrib[..., 2:C3:3, :]
+            )
+            Hc = jnp.stack(
+                [Hn, H[..., 1:C3:3, :], H[..., 2:C3:3, :]], axis=-2
+            ).reshape(H.shape[:-2] + (C3, r))
+            H = jnp.concatenate([Hc, H[..., C3:, :]], axis=-2)
+        else:
+            E0 = np.zeros((n, n))
+            E0[fr, fidx_np[fr]] = 1.0  # static coupling matrix
+            H = H + jnp.einsum(
+                "un,...ur->...nr", jnp.asarray(E0, dtype=dtype), contrib
+            )
+
+    def apply_P(zc):
+        return S * zc + coeff * zc[..., fidx]
+
+    # Gather clamping rows first (stable) into a K-row system.
+    order = jnp.argsort(jnp.where(clamping, 0, 1), axis=-1, stable=True)
+    sel = order[..., :K]
+    G = jax.nn.one_hot(sel, n, dtype=dtype)  # (..., K, n)
+    m = jnp.take_along_axis(S, sel, axis=-1)  # (..., K)
+    GF = G @ F  # (..., K, r)
+    GH = G @ H  # (..., K, r)
+    Q = GF @ jnp.swapaxes(GH, -1, -2)  # (..., K, K) = (G A P G^T) - cfm part
+    if not isinstance(cfm, (int, float)) or cfm != 0.0:
+        # cfm * (G P G^T): UB rows are never in the selection (they are
+        # not clamping), so the gathered P block is diag(c)|sel.
+        Q = Q + cfm * jnp.eye(K, dtype=dtype) * m[..., :, None]
+    eyeK = jnp.eye(K, dtype=dtype)
+    Qm = m[..., :, None] * Q * m[..., None, :] + (
+        eyeK - m[..., :, None] * eyeK
     )
-    zc = _ridge_solve(meta, M, S * b)
-    return jnp.einsum("...ij,...j->...i", P, zc)
+    rhs = jnp.einsum("...kn,...n->...k", G, b) * m
+    zcK = _ridge_solve(meta, Qm, rhs)
+    z_C = jnp.einsum("...k,...kn->...n", zcK * m, G)
+    return apply_P(z_C)
 
 
-def _refine_masks(meta: LcpMeta, A, b, mu, clamping, upper, sign_u):
+def _refine_masks(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u):
     """One masked-Dantzig refinement round: exact-solve the current active
     set, then fix misclassifications (negative pinned normals leave C,
     violated complementarity joins C, friction beyond its cone moves to
-    UPPER_BOUND, UB rows pulling inward return to CLAMPING).
-
-    The reference resolves these cases inside Dantzig pivoting + the
-    documented tie-breaks; here they are data-parallel mask updates.
-    """
-    tol = meta.tol
-    z = _pinned_solve(meta, A, b, mu, clamping, upper, sign_u)
-    w = jnp.einsum("...ij,...j->...i", A, z) - b
+    UPPER_BOUND, UB rows pulling inward return to CLAMPING). The reference
+    resolves these inside Dantzig pivoting; here they are data-parallel
+    mask updates."""
+    tol = _dtype_tol(meta, F.dtype)
+    z = _pinned_solve(meta, F, cfm, b, mu, clamping, upper, sign_u)
+    w = _Av(F, cfm, z) - b
     isf = jnp.asarray(meta.is_friction)
     fidx = jnp.asarray(np.maximum(meta.findex, 0))
     bound = mu * jnp.maximum(z[..., fidx], 0.0)
-    degenerate = jnp.linalg.norm(A, axis=-2) < 1e-9
+    degenerate = _diag_A(F, cfm) < 1e-9
 
-    # Normal / limit rows.
     n_clamp = jnp.where(
         clamping,
         z > -tol,  # stay unless the pinned impulse went negative
         w < -tol,  # join if the gap rate is being violated
     )
-    # Friction rows.
     no_normal = bound <= tol
     over = jnp.abs(z) > bound + tol
     new_sign = jnp.where(jnp.abs(z) > tol, jnp.sign(z), sign_u)
-    # UB rows: at +bound the complementary velocity must push outward
-    # (w <= tol); if it pulls inward the row returns to CLAMPING.
     ub_consistent = jnp.where(sign_u > 0, w <= tol, w >= -tol)
-    f_clamp = jnp.where(
-        upper,
-        ~ub_consistent & ~no_normal,
-        ~over & ~no_normal,
-    )
-    f_upper = jnp.where(
-        upper,
-        ub_consistent & ~no_normal,
-        over & ~no_normal,
-    )
+    f_clamp = jnp.where(upper, ~ub_consistent & ~no_normal, ~over & ~no_normal)
+    f_upper = jnp.where(upper, ub_consistent & ~no_normal, over & ~no_normal)
     clamping2 = jnp.where(isf, f_clamp, n_clamp) & ~degenerate
     upper2 = jnp.where(isf, f_upper, jnp.zeros_like(f_upper)) & ~degenerate
     return clamping2, upper2, new_sign
 
 
-def boxed_lcp(meta: LcpMeta, A, b, mu, z_warm):
-    """Solve the boxed LCP; jax.grad through this IS the active-set
-    implicit derivative (see module docstring). Leading batch dims OK.
+def boxed_lcp(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0):
+    """Solve the boxed LCP with A = F F^T + cfm I (factored Delassus).
 
-    Pipeline: PGS warm solve -> classify -> K rounds of masked-Dantzig
-    active-set refinement (all under stop_gradient) -> one final
-    differentiable pinned solve -> accept iff it satisfies the LCP.
+    jax.grad through this IS the active-set implicit derivative (module
+    docstring). Leading batch dims allowed on all array args.
 
     Args:
-      A (n, n): J M^-1 J^T (+ cfm I); b (n,): -J v_pre + bounce terms;
-      mu (n,): per-row friction coefficient (friction rows only);
-      z_warm (n,): warm start (reference: cached LCP solution,
-      World.hpp:690-698).
+      F (n, r): J L^-T with M = L L^T (so A = J M^-1 J^T + cfm I);
+      b (n,): -J v_pre + bounce terms; mu (n,): per-row friction
+      coefficients; z_warm (n,): warm start (reference: cached LCP
+      solution, World.hpp:690-698); cfm: constraint-force mixing constant.
     Returns z (n,) impulses.
     """
     sg = jax.lax.stop_gradient
-    As, bs, mus = sg(A), sg(b), sg(mu)
-    z_pgs = _pgs(meta, As, bs, mus, sg(z_warm))
-    clamping, upper = _classify(meta, As, bs, mus, z_pgs)
-    sign_u = jnp.sign(z_pgs)
+    Fs, bs, mus = sg(F), sg(b), sg(mu)
+    seed_fn = _apgd if meta.solver == "apgd" else _pgs
+    # The seed is DIFFERENTIABLE (unrolled iterations): where the pinned
+    # polish is rejected (rare: inconsistent active set on wedged /
+    # ill-conditioned states), the fallback still carries approximate
+    # gradients instead of none. Classification and refinement stay on
+    # gradient-stopped values (discrete masks).
+    z_seed = seed_fn(meta, F, cfm, b, mu, z_warm)
+    clamping, upper = _classify(meta, Fs, cfm, bs, mus, sg(z_seed))
+    sign_u = jnp.sign(sg(z_seed))
     for _ in range(meta.refine_rounds):
         clamping, upper, sign_u = _refine_masks(
-            meta, As, bs, mus, clamping, upper, sign_u
+            meta, Fs, cfm, bs, mus, clamping, upper, sign_u
         )
 
     # Final solve under gradient with the (discrete, stopped) active set.
-    z_pol = _pinned_solve(meta, A, b, mu, clamping, upper, sign_u)
+    z_pol = _pinned_solve(meta, F, cfm, b, mu, clamping, upper, sign_u)
 
-    valid = _lcp_valid(meta, As, bs, mus, sg(z_pol))
-    return jnp.where(valid[..., None], z_pol, z_pgs)
+    valid = sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_pol)))
+    return jnp.where(valid[..., None], z_pol, z_seed)

@@ -1,0 +1,12 @@
+"""Bundled model zoo (reference: data/skel + data/urdf assets).
+
+Models load from the bundled asset copies (assets/) or build
+programmatically; each returns (World, q0, v0).
+"""
+
+from nimblephysics_tpu.models.builtin import (
+    cartpole,
+    half_cheetah,
+    inverted_double_pendulum,
+    box_drop,
+)

@@ -82,25 +82,38 @@ class Engine:
 
     # ------------------------------------------------------------------
 
-    def _world_M_Minv_C(self, q, v):
-        """Block-diagonal M, M^-1 and bias C across skeletons."""
+    def _chol_and_bias(self, q, v):
+        """Per-skeleton Cholesky factors of M and bias C (block-diagonal
+        across skeletons; the L factors are reused by the smooth solve,
+        the factored Delassus operator F = J L^-T, and the impulse
+        back-substitution — one factorization per step)."""
         w = self.world
-        nv = w.num_dofs
         dtype = q.dtype
         g = jnp.asarray(w.gravity, dtype=dtype)
-        M = jnp.zeros((nv, nv), dtype=dtype)
-        Minv = jnp.zeros((nv, nv), dtype=dtype)
-        C = jnp.zeros(nv, dtype=dtype)
-        for skel, (s, e) in zip(w.skeletons, w.dof_slices()):
+        Ls = {}
+        C = jnp.zeros(w.num_dofs, dtype=dtype)
+        for k, (skel, (s, e)) in enumerate(zip(w.skeletons, w.dof_slices())):
             if skel.num_dofs == 0:
                 continue
             Mk = mass_matrix(skel, q[s:e])
-            cho = jax.scipy.linalg.cho_factor(Mk)
-            eye = jnp.eye(skel.num_dofs, dtype=dtype)
-            M = M.at[s:e, s:e].set(Mk)
-            Minv = Minv.at[s:e, s:e].set(jax.scipy.linalg.cho_solve(cho, eye))
+            Ls[k] = jnp.linalg.cholesky(Mk)
             C = C.at[s:e].set(bias_forces(skel, q[s:e], v[s:e], gravity=g))
-        return M, Minv, C
+        return Ls, C
+
+    def _minv_apply(self, Ls, x):
+        """M^-1 x via the cached per-skeleton Cholesky factors."""
+        w = self.world
+        out = jnp.zeros_like(x)
+        for k, (skel, (s, e)) in enumerate(zip(w.skeletons, w.dof_slices())):
+            if skel.num_dofs == 0:
+                continue
+            y = jax.scipy.linalg.solve_triangular(Ls[k], x[s:e], lower=True)
+            out = out.at[s:e].set(
+                jax.scipy.linalg.solve_triangular(
+                    Ls[k].T, y, lower=False
+                )
+            )
+        return out
 
     def _passive(self, q, v):
         w = self.world
@@ -130,22 +143,49 @@ class Engine:
         C = self.collider.num_contacts
 
         # 1. Smooth dynamics -> pre-constraint velocity.
-        _, Minv, bias = self._world_M_Minv_C(q, v)
+        Ls, bias = self._chol_and_bias(q, v)
         tau = control + self._passive(q, v)
-        v_pre = v + dt * (Minv @ (tau - bias))
+        v_pre = v + dt * self._minv_apply(Ls, tau - bias)
 
         if nrows > 0:
             # 2. Collision at pre-step q; LCP on pre-constraint velocities.
             kin = world_full_kinematics(w, q, v)
             contacts = self.collider.collide(q, T_wb=kin["T_wb"])
-            A, b, mu, Jm, valid = self.assembler.assemble(
-                q, v_pre, contacts, Minv, kin["J_world"]
+            Jm, b, mu, valid = self.assembler.assemble(
+                q, v_pre, contacts, kin["J_world"]
             )
+            # Factored Delassus operator: F = J L^-T per skeleton block,
+            # A = F F^T (+ cfm I). Never materialize the n x n matrix.
+            F = jnp.zeros((nrows, w.num_dofs), dtype=dtype)
+            for k, (skel, (s, e)) in enumerate(
+                zip(w.skeletons, w.dof_slices())
+            ):
+                if skel.num_dofs == 0:
+                    continue
+                Fk = jax.scipy.linalg.solve_triangular(
+                    Ls[k], Jm[:, s:e].T, lower=True
+                ).T
+                F = F.at[:, s:e].set(Fk)
             if z_warm is None:
                 z_warm = jnp.zeros(nrows, dtype=dtype)
-            z = boxed_lcp(self.assembler.meta, A, b, mu, z_warm)
-            # 3. Velocity update from constraint impulses.
-            v_next = v_pre + Minv @ (Jm.T @ z)
+            z = boxed_lcp(
+                self.assembler.meta, F, b, mu, z_warm, cfm=w.solver.cfm
+            )
+            # 3. Velocity update from constraint impulses:
+            # M^-1 J^T z = L^-T (F^T z) per skeleton block.
+            u = F.T @ z
+            dv = jnp.zeros_like(v_pre)
+            for k, (skel, (s, e)) in enumerate(
+                zip(w.skeletons, w.dof_slices())
+            ):
+                if skel.num_dofs == 0:
+                    continue
+                dv = dv.at[s:e].set(
+                    jax.scipy.linalg.solve_triangular(
+                        Ls[k].T, u[s:e], lower=False
+                    )
+                )
+            v_next = v_pre + dv
             # World-frame contact force on body A per contact (diagnostic;
             # reference: Contact.force filled in applyImpulse).
             if C > 0:

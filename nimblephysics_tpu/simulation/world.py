@@ -46,7 +46,8 @@ class SolverConfig:
     fallback CFM 1e-4 — World.cpp:82-87).
     """
 
-    pgs_iterations: int = 32
+    lcp_solver: str = "apgd"  # iterative seed: "apgd" (TPU) | "pgs"
+    lcp_iterations: int = 64
     cfm: float = 0.0
     fallback_cfm: float = 1e-4
     error_allowance: float = 0.0
