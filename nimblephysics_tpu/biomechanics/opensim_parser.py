@@ -1,0 +1,263 @@
+""".osim model parser -> Skeleton + markers.
+
+TPU-native re-design of the reference OpenSimParser
+(dart/biomechanics/OpenSimParser.hpp:101, 6.9k LoC): reads OpenSim 3.x/4.0
+`<Model>` documents — BodySet (mass/mass_center/inertia), the joint family
+(CustomJoint with SpatialTransform functions, PinJoint, UniversalJoint,
+BallJoint, WeldJoint, FreeJoint), CoordinateSet ranges/defaults, and the
+MarkerSet — into this engine's static Skeleton spec + a marker table.
+
+Scope notes: muscles/actuators/constraints are ignored (the reference's
+rational use is skeletal kinematics + markers for mocap fitting); meshes
+attach as non-collidable visual stubs.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from nimblephysics_tpu.dynamics import joints as JT
+from nimblephysics_tpu.dynamics.joints import CustomJointDef
+from nimblephysics_tpu.dynamics.skeleton import Skeleton
+from nimblephysics_tpu.math import splines
+
+
+def _floats(t: str) -> np.ndarray:
+    return np.array([float(x) for x in t.split()])
+
+
+def _euler_xyz_T(loc: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    """OpenSim location + body-fixed XYZ Euler orientation -> 4x4."""
+    cx, sx = np.cos(rot[0]), np.sin(rot[0])
+    cy, sy = np.cos(rot[1]), np.sin(rot[1])
+    cz, sz = np.cos(rot[2]), np.sin(rot[2])
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    T = np.eye(4)
+    T[:3, :3] = Rx @ Ry @ Rz
+    T[:3, 3] = loc
+    return T
+
+
+def _parse_function(fx: ET.Element) -> splines.Fn:
+    """Parse an OpenSim <function> payload into a splines.Fn."""
+    for child in fx:
+        tag = child.tag
+        if tag == "LinearFunction":
+            a, b = _floats(child.findtext("coefficients", "1 0"))[:2]
+            return splines.linear(a, b)
+        if tag == "Constant":
+            return splines.constant(float(child.findtext("value", "0")))
+        if tag in ("SimmSpline", "NaturalCubicSpline"):
+            xs = _floats(child.findtext("x"))
+            ys = _floats(child.findtext("y"))
+            return splines.simm_spline(xs, ys)
+        if tag == "PolynomialFunction":
+            return splines.polynomial(_floats(child.findtext("coefficients")))
+        if tag == "MultiplierFunction":
+            inner = _parse_function(child.find("function"))
+            scale = float(child.findtext("scale", "1"))
+            return splines.multiplier(inner, scale)
+    return splines.constant(0.0)
+
+
+class OpenSimFile:
+    """Parsed model: skeleton + markers (+ coordinate name table).
+
+    Reference parity: biomechanics::OpenSimFile returned by
+    OpenSimParser::parseOsim.
+    """
+
+    def __init__(self, skeleton: Skeleton, markers, coordinate_names):
+        self.skeleton = skeleton
+        # markers: name -> (body_index, local_offset, fixed)
+        self.markers: Dict[str, Tuple[int, np.ndarray, bool]] = markers
+        self.coordinate_names: List[str] = coordinate_names
+
+    @property
+    def marker_names(self) -> List[str]:
+        return list(self.markers.keys())
+
+
+def parse_osim(path: str, geometry_folder: str = "") -> OpenSimFile:
+    tree = ET.parse(path)
+    root = tree.getroot()
+    model = root.find("Model")
+    assert model is not None, "not an OpenSim <Model> document"
+
+    body_set = model.find("BodySet")
+    bodies_xml = body_set.find("objects").findall("Body")
+
+    skel = Skeleton(model.get("name", "osim"))
+    index_of: Dict[str, int] = {"ground": -1}
+    coordinate_names: List[str] = []
+
+    # Topological: OpenSim body lists are parent-before-child in practice;
+    # guard with a simple deferred queue for robustness.
+    pending = list(bodies_xml)
+    progress = True
+    while pending and progress:
+        progress = False
+        remaining = []
+        for bx in pending:
+            bname = bx.get("name")
+            if bname == "ground":
+                progress = True
+                continue
+            jx_container = bx.find("Joint")
+            if jx_container is None or len(jx_container) == 0:
+                # Body with no joint: weld to ground.
+                idx = skel.add_joint_and_body(
+                    JT.WELD, parent=-1, name=bname,
+                    mass=float(bx.findtext("mass", "1")),
+                )
+                index_of[bname] = idx
+                progress = True
+                continue
+            jx = jx_container[0]
+            parent_name = jx.findtext("parent_body")
+            if parent_name not in index_of:
+                remaining.append(bx)
+                continue
+            idx = _add_body(skel, bx, jx, index_of[parent_name], coordinate_names)
+            index_of[bname] = idx
+            progress = True
+        pending = remaining
+    if pending:
+        raise ValueError(
+            f"unresolved parent bodies for: {[b.get('name') for b in pending]}"
+        )
+
+    # Markers.
+    markers: Dict[str, Tuple[int, np.ndarray, bool]] = {}
+    mset = model.find("MarkerSet")
+    if mset is not None:
+        objs = mset.find("objects")
+        if objs is not None:
+            for mx in objs.findall("Marker"):
+                body = mx.findtext("body")
+                if body is None:  # OpenSim 4.x: socket_parent_frame
+                    sock = mx.findtext("socket_parent_frame", "")
+                    body = sock.split("/")[-1]
+                loc = _floats(mx.findtext("location", "0 0 0"))
+                fixed = mx.findtext("fixed", "false").strip().lower() == "true"
+                if body in index_of and index_of[body] >= 0:
+                    markers[mx.get("name")] = (index_of[body], loc, fixed)
+
+    return OpenSimFile(skel, markers, coordinate_names)
+
+
+def _add_body(skel, bx, jx, parent_idx, coordinate_names) -> int:
+    bname = bx.get("name")
+    mass = float(bx.findtext("mass", "1"))
+    com = _floats(bx.findtext("mass_center", "0 0 0"))
+    I = np.array(
+        [
+            [float(bx.findtext("inertia_xx", "0.01")),
+             float(bx.findtext("inertia_xy", "0")),
+             float(bx.findtext("inertia_xz", "0"))],
+            [float(bx.findtext("inertia_xy", "0")),
+             float(bx.findtext("inertia_yy", "0.01")),
+             float(bx.findtext("inertia_yz", "0"))],
+            [float(bx.findtext("inertia_xz", "0")),
+             float(bx.findtext("inertia_yz", "0")),
+             float(bx.findtext("inertia_zz", "0.01"))],
+        ]
+    )
+    # Guard: some models list zero inertia for tiny bodies.
+    if np.all(np.abs(I) < 1e-12):
+        I = np.eye(3) * max(mass, 1e-3) * 1e-4
+
+    loc_p = _floats(jx.findtext("location_in_parent", "0 0 0"))
+    rot_p = _floats(jx.findtext("orientation_in_parent", "0 0 0"))
+    loc_c = _floats(jx.findtext("location", "0 0 0"))
+    rot_c = _floats(jx.findtext("orientation", "0 0 0"))
+    T_pj = _euler_xyz_T(loc_p, rot_p)
+    T_cj = _euler_xyz_T(loc_c, rot_c)
+
+    # Coordinates.
+    coords = []
+    cs = jx.find("CoordinateSet")
+    if cs is not None and cs.find("objects") is not None:
+        coords = cs.find("objects").findall("Coordinate")
+    coord_names = [c.get("name") for c in coords]
+    lowers, uppers, defaults = [], [], []
+    for c in coords:
+        rng = c.findtext("range")
+        if rng and c.findtext("clamped", "false").strip().lower() == "true":
+            lo, hi = _floats(rng)[:2]
+        else:
+            lo, hi = -np.inf, np.inf
+        lowers.append(lo)
+        uppers.append(hi)
+        defaults.append(float(c.findtext("default_value", "0")))
+
+    tag = jx.tag
+    kwargs = dict(
+        T_pj=T_pj, T_cj=T_cj, mass=mass, com=com, inertia=I,
+    )
+    if coord_names:
+        kwargs.update(
+            position_lower=np.asarray(lowers),
+            position_upper=np.asarray(uppers),
+        )
+
+    if tag == "WeldJoint" or not coords and tag != "FreeJoint":
+        idx = skel.add_joint_and_body(JT.WELD, parent=parent_idx, name=bname,
+                                      T_pj=T_pj, T_cj=T_cj, mass=mass,
+                                      com=com, inertia=I)
+    elif tag == "PinJoint":
+        idx = skel.add_joint_and_body(
+            JT.REVOLUTE, parent=parent_idx, name=bname,
+            axes=np.array([[0.0, 0.0, 1.0]]), **kwargs,
+        )
+    elif tag == "UniversalJoint":
+        idx = skel.add_joint_and_body(
+            JT.UNIVERSAL, parent=parent_idx, name=bname,
+            axes=np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]), **kwargs,
+        )
+    elif tag == "BallJoint":
+        idx = skel.add_joint_and_body(JT.BALL, parent=parent_idx, name=bname,
+                                      **kwargs)
+    elif tag == "FreeJoint":
+        idx = skel.add_joint_and_body(JT.FREE, parent=parent_idx, name=bname,
+                                      T_pj=T_pj, T_cj=T_cj, mass=mass,
+                                      com=com, inertia=I)
+        coord_names = coord_names or [f"{bname}_free_{k}" for k in range(6)]
+    elif tag == "CustomJoint":
+        st = jx.find("SpatialTransform")
+        axes_r, axes_t, fns, drives = [], [], [], []
+        for ax in st.findall("TransformAxis"):
+            axis = _floats(ax.findtext("axis", "1 0 0"))
+            cname = (ax.findtext("coordinates") or "").strip()
+            drive = coord_names.index(cname) if cname in coord_names else -1
+            fn = _parse_function(ax.find("function")) if ax.find(
+                "function"
+            ) is not None else splines.constant(0.0)
+            if ax.get("name", "").startswith("rotation"):
+                axes_r.append(axis)
+            else:
+                axes_t.append(axis)
+            fns.append(fn)
+            drives.append(drive)
+        cj = CustomJointDef(
+            n_dofs=len(coord_names),
+            rot_axes=np.asarray(axes_r[:3] + [[1, 0, 0]] * (3 - len(axes_r))),
+            trans_axes=np.asarray(axes_t[:3] + [[1, 0, 0]] * (3 - len(axes_t))),
+            functions=tuple(fns),
+            drives=tuple(drives),
+        )
+        idx = skel.add_joint_and_body(
+            JT.CUSTOM, parent=parent_idx, name=bname, custom=cj, **kwargs,
+        )
+    else:
+        idx = skel.add_joint_and_body(JT.WELD, parent=parent_idx, name=bname,
+                                      T_pj=T_pj, T_cj=T_cj, mass=mass,
+                                      com=com, inertia=I)
+        coord_names = []
+    coordinate_names.extend(coord_names)
+    return idx

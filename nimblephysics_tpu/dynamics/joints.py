@@ -68,6 +68,24 @@ def num_dofs(joint_type: str) -> int:
     return _NUM_DOFS[joint_type]
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class CustomJointDef:
+    """CustomJoint definition (reference: dart/dynamics/CustomJoint — the
+    spline-driven joint OpenSim models need; SURVEY.md 2.1 joint #4).
+
+    Six TransformAxis entries (3 rotations then 3 translations), each a
+    1-D function of one of the joint's coordinates (or a constant):
+      R = exp(rot_axes[0] * f0) @ exp(rot_axes[1] * f1) @ exp(rot_axes[2] * f2)
+      p = sum_i trans_axes[i] * f_{3+i}
+    """
+
+    n_dofs: int
+    rot_axes: "np.ndarray"  # (3, 3) rows = axes
+    trans_axes: "np.ndarray"  # (3, 3)
+    functions: tuple  # 6 x math.splines.Fn
+    drives: tuple  # 6 x int: coordinate index driving each axis (-1 = none)
+
+
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash: jit-static
 class JointSpec:
     """Static description of one joint (trace-time constant).
@@ -96,9 +114,12 @@ class JointSpec:
     position_upper: Optional[np.ndarray] = None
     velocity_limit: Optional[np.ndarray] = None
     force_limit: Optional[np.ndarray] = None
+    custom: Optional["CustomJointDef"] = None  # for joint_type == CUSTOM
 
     @property
     def num_dofs(self) -> int:
+        if self.joint_type == CUSTOM:
+            return self.custom.n_dofs
         return _NUM_DOFS[self.joint_type]
 
     def _coeff(self, field, default):
@@ -188,6 +209,21 @@ def joint_transform(spec: JointSpec, q: jnp.ndarray) -> jnp.ndarray:
         return lie.rp_to_transform(
             lie.euler_to_matrix(q[:3], spec.euler_order), q[3:]
         )
+    if t == CUSTOM:
+        cj = spec.custom
+        zero = jnp.zeros((), dtype=dtype)
+        vals = [
+            fn(q[d]) if d >= 0 else fn(zero)
+            for fn, d in zip(cj.functions, cj.drives)
+        ]
+        R = jnp.eye(3, dtype=dtype)
+        for i in range(3):
+            ax = jnp.asarray(cj.rot_axes[i], dtype=dtype)
+            R = R @ lie.exp_map_rot(ax * vals[i])
+        p = jnp.zeros(3, dtype=dtype)
+        for i in range(3):
+            p = p + jnp.asarray(cj.trans_axes[i], dtype=dtype) * vals[3 + i]
+        return lie.rp_to_transform(R, p)
     raise NotImplementedError(f"joint type {t}")
 
 

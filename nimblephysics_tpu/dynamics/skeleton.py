@@ -60,7 +60,19 @@ class Skeleton:
         self.name = name
         self.joints: List[JointSpec] = []
         self.bodies: List[BodySpec] = []
+        # Mocap markers: name -> (body index, local offset (3,), fixed).
+        # Reference parity: dynamics::Marker attached to BodyNodes.
+        self.markers: Dict[str, Tuple[int, np.ndarray, bool]] = {}
         self._frozen = False
+
+    def add_marker(
+        self, name: str, body: int, offset, fixed: bool = False
+    ) -> None:
+        self.markers[name] = (
+            int(body),
+            np.asarray(offset, dtype=np.float64),
+            bool(fixed),
+        )
 
     # -- builder ----------------------------------------------------------
 
@@ -86,6 +98,7 @@ class Skeleton:
         position_upper: Optional[Sequence] = None,
         velocity_limit: Optional[Sequence] = None,
         force_limit: Optional[Sequence] = None,
+        custom=None,
     ) -> int:
         """Append a joint + child body; returns the new body index."""
         assert not self._frozen, "Skeleton already in use (trace-time frozen)"
@@ -131,6 +144,7 @@ class Skeleton:
             force_limit=(
                 None if force_limit is None else np.asarray(force_limit, np.float64)
             ),
+            custom=custom,
         )
         if inertia is None:
             inertia = np.eye(3) * 0.1 * mass
@@ -332,15 +346,59 @@ def point_jacobian(
 DEFAULT_GRAVITY = np.array([0.0, 0.0, -9.81])
 
 
-def _spatial_inertias(skel: Skeleton, dtype) -> List[jnp.ndarray]:
-    return [
-        spatial_inertia_matrix(
-            jnp.asarray(b.mass, dtype=dtype),
-            jnp.asarray(b.com, dtype=dtype),
-            jnp.asarray(b.inertia, dtype=dtype),
+def default_body_params(skel: Skeleton, dtype=jnp.float64) -> Dict[str, jnp.ndarray]:
+    """Dynamic body-parameter pytree with the spec values as defaults.
+
+    These are the differentiation variables of the reference's
+    WithRespectToMass / GROUP_MASSES / GROUP_COMS / GROUP_INERTIAS
+    (dart/neural/WithRespectTo.hpp:62-75): pass a (modified) params pytree
+    into the dynamics functions and differentiate with jax.grad.
+    """
+    return {
+        "masses": jnp.asarray([b.mass for b in skel.bodies], dtype=dtype),
+        "coms": jnp.stack(
+            [jnp.asarray(b.com, dtype=dtype) for b in skel.bodies]
         )
-        for b in skel.bodies
-    ]
+        if skel.bodies
+        else jnp.zeros((0, 3), dtype=dtype),
+        "inertias": jnp.stack(
+            [jnp.asarray(b.inertia, dtype=dtype) for b in skel.bodies]
+        )
+        if skel.bodies
+        else jnp.zeros((0, 3, 3), dtype=dtype),
+    }
+
+
+def _spatial_inertias(
+    skel: Skeleton, dtype, body_params: Optional[Dict] = None
+) -> List[jnp.ndarray]:
+    if body_params is None:
+        return [
+            spatial_inertia_matrix(
+                jnp.asarray(b.mass, dtype=dtype),
+                jnp.asarray(b.com, dtype=dtype),
+                jnp.asarray(b.inertia, dtype=dtype),
+            )
+            for b in skel.bodies
+        ]
+    masses = body_params["masses"]
+    coms = body_params.get("coms")
+    inertias = body_params.get("inertias")
+    out = []
+    for i, b in enumerate(skel.bodies):
+        m = masses[i]
+        c = coms[i] if coms is not None else jnp.asarray(b.com, dtype=dtype)
+        # Default: scale the spec rotational inertia with mass (the
+        # reference's mass-only differentiation keeps inertia/mass fixed
+        # shape — inertia scales linearly in mass for fixed geometry).
+        if inertias is not None:
+            I = inertias[i]
+        else:
+            I = jnp.asarray(b.inertia, dtype=dtype) * (
+                m / jnp.asarray(b.mass, dtype=dtype)
+            )
+        out.append(spatial_inertia_matrix(m, c, I))
+    return out
 
 
 def inverse_dynamics(
@@ -350,6 +408,7 @@ def inverse_dynamics(
     ddq: jnp.ndarray,
     f_ext_body: Optional[jnp.ndarray] = None,
     gravity: Optional[jnp.ndarray] = None,
+    body_params: Optional[Dict] = None,
 ) -> jnp.ndarray:
     """Recursive Newton-Euler: generalized forces for given accelerations.
 
@@ -367,7 +426,7 @@ def inverse_dynamics(
         gravity = jnp.asarray(DEFAULT_GRAVITY, dtype=dtype)
     else:
         gravity = jnp.asarray(gravity, dtype=dtype)
-    G = _spatial_inertias(skel, dtype)
+    G = _spatial_inertias(skel, dtype, body_params)
 
     # Forward sweep.
     T_rels: List[jnp.ndarray] = []
@@ -436,17 +495,21 @@ def bias_forces(
     dq: jnp.ndarray,
     f_ext_body: Optional[jnp.ndarray] = None,
     gravity: Optional[jnp.ndarray] = None,
+    body_params: Optional[Dict] = None,
 ) -> jnp.ndarray:
     """C(q, dq) including gravity and external forces (zero-acceleration ID).
 
     Reference parity: Skeleton::getCoriolisAndGravityForces.
     """
     return inverse_dynamics(
-        skel, q, dq, jnp.zeros_like(dq), f_ext_body=f_ext_body, gravity=gravity
+        skel, q, dq, jnp.zeros_like(dq), f_ext_body=f_ext_body,
+        gravity=gravity, body_params=body_params,
     )
 
 
-def mass_matrix(skel: Skeleton, q: jnp.ndarray) -> jnp.ndarray:
+def mass_matrix(
+    skel: Skeleton, q: jnp.ndarray, body_params: Optional[Dict] = None
+) -> jnp.ndarray:
     """Joint-space inertia matrix M(q), (nv, nv), symmetric PD.
 
     Computed as the (exact) linearization of RNEA in ddq — XLA vectorizes
@@ -458,7 +521,8 @@ def mass_matrix(skel: Skeleton, q: jnp.ndarray) -> jnp.ndarray:
     # ID(q, 0, a) = M a + g  (affine in a); jacfwd extracts exactly M.
     M = jax.jacfwd(
         lambda a: inverse_dynamics(
-            skel, q, zero, a, gravity=jnp.zeros(3, dtype=q.dtype)
+            skel, q, zero, a, gravity=jnp.zeros(3, dtype=q.dtype),
+            body_params=body_params,
         )
     )(zero)
     return 0.5 * (M + M.T)
@@ -491,6 +555,7 @@ def forward_dynamics(
     tau: jnp.ndarray,
     f_ext_body: Optional[jnp.ndarray] = None,
     gravity: Optional[jnp.ndarray] = None,
+    body_params: Optional[Dict] = None,
 ) -> jnp.ndarray:
     """ddq = M^-1 (tau + passive - C). Smooth (constraint-free) dynamics.
 
@@ -498,8 +563,11 @@ def forward_dynamics(
     (dart/dynamics/Skeleton.cpp:13296) — same result as the ABA sweeps,
     computed matrix-first for the TPU.
     """
-    M = mass_matrix(skel, q)
-    C = bias_forces(skel, q, dq, f_ext_body=f_ext_body, gravity=gravity)
+    M = mass_matrix(skel, q, body_params=body_params)
+    C = bias_forces(
+        skel, q, dq, f_ext_body=f_ext_body, gravity=gravity,
+        body_params=body_params,
+    )
     rhs = tau + passive_forces(skel, q, dq) - C
     cho = jax.scipy.linalg.cho_factor(M)
     return jax.scipy.linalg.cho_solve(cho, rhs)

@@ -82,7 +82,25 @@ class Engine:
 
     # ------------------------------------------------------------------
 
-    def _chol_and_bias(self, q, v):
+    def _split_body_params(self, body_params):
+        """World-level (NB,) body-parameter arrays -> per-skeleton dicts."""
+        if body_params is None:
+            return [None] * len(self.world.skeletons)
+        out = []
+        offs = self.world.body_offsets()
+        for k, skel in enumerate(self.world.skeletons):
+            s = offs[k]
+            e = s + skel.num_bodies
+            out.append(
+                {
+                    key: val[s:e]
+                    for key, val in body_params.items()
+                    if val is not None
+                }
+            )
+        return out
+
+    def _chol_and_bias(self, q, v, body_params=None):
         """Per-skeleton Cholesky factors of M and bias C (block-diagonal
         across skeletons; the L factors are reused by the smooth solve,
         the factored Delassus operator F = J L^-T, and the impulse
@@ -90,14 +108,17 @@ class Engine:
         w = self.world
         dtype = q.dtype
         g = jnp.asarray(w.gravity, dtype=dtype)
+        bp = self._split_body_params(body_params)
         Ls = {}
         C = jnp.zeros(w.num_dofs, dtype=dtype)
         for k, (skel, (s, e)) in enumerate(zip(w.skeletons, w.dof_slices())):
             if skel.num_dofs == 0:
                 continue
-            Mk = mass_matrix(skel, q[s:e])
+            Mk = mass_matrix(skel, q[s:e], body_params=bp[k])
             Ls[k] = jnp.linalg.cholesky(Mk)
-            C = C.at[s:e].set(bias_forces(skel, q[s:e], v[s:e], gravity=g))
+            C = C.at[s:e].set(
+                bias_forces(skel, q[s:e], v[s:e], gravity=g, body_params=bp[k])
+            )
         return Ls, C
 
     def _minv_apply(self, Ls, x):
@@ -130,8 +151,12 @@ class Engine:
         v: jnp.ndarray,
         control: jnp.ndarray,
         z_warm: Optional[jnp.ndarray] = None,
+        body_params: Optional[Dict] = None,
     ) -> StepResult:
-        """One physics step. Pure; differentiable in (q, v, control).
+        """One physics step. Pure; differentiable in (q, v, control) and,
+        when given, in `body_params` ({"masses": (NB,), optional "coms"
+        (NB,3), "inertias" (NB,3,3)} — the reference's WithRespectToMass /
+        GROUP_COMS / GROUP_INERTIAS differentiation variables).
 
         `control` is a full generalized-force vector (use
         World.action_to_forces for RL-style action subsets).
@@ -143,7 +168,7 @@ class Engine:
         C = self.collider.num_contacts
 
         # 1. Smooth dynamics -> pre-constraint velocity.
-        Ls, bias = self._chol_and_bias(q, v)
+        Ls, bias = self._chol_and_bias(q, v, body_params)
         tau = control + self._passive(q, v)
         v_pre = v + dt * self._minv_apply(Ls, tau - bias)
 
@@ -226,7 +251,12 @@ class Engine:
 
     # -- RL-style state/action step (reference: World.hpp:471-523) --------
 
-    def state_step(self, state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+    def state_step(
+        self,
+        state: jnp.ndarray,
+        action: jnp.ndarray,
+        masses: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         nv = self.world.num_dofs
         if state.shape[-1] != 2 * nv:
             raise ValueError(
@@ -242,7 +272,8 @@ class Engine:
             )
         q, v = state[:nv], state[nv:]
         control = self.world.action_to_forces(action)
-        res = self.step(q, v, control)
+        bp = None if masses is None else {"masses": masses}
+        res = self.step(q, v, control, body_params=bp)
         return jnp.concatenate([res.q, res.v])
 
 
@@ -259,12 +290,15 @@ def get_engine(world: World) -> Engine:
 
 
 def timestep(
-    world: World, state: jnp.ndarray, action: jnp.ndarray
+    world: World,
+    state: jnp.ndarray,
+    action: jnp.ndarray,
+    masses: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """`nimble.timestep(world, state, action)` parity entry point.
+    """`nimble.timestep(world, state, action, mass)` parity entry point.
 
     Reference: python/nimblephysics/timestep.py:63-69 — one differentiable
-    physics step as a pure function of [positions; velocities] and action.
-    Compose freely with jit / vmap / grad / scan.
+    physics step as a pure function of [positions; velocities], action and
+    (optionally) per-body masses. Compose freely with jit/vmap/grad/scan.
     """
-    return get_engine(world).state_step(state, action)
+    return get_engine(world).state_step(state, action, masses)

@@ -1,0 +1,187 @@
+"""GUIStateMachine: retained-mode scene graph -> JSON command stream.
+
+Reference parity: dart/server/GUIStateMachine.hpp:59-395 (create box/
+sphere/capsule/line, renderWorld/renderSkeleton/renderTrajectoryLines,
+text/buttons/sliders/plots, layers; serialized as protobuf CommandList).
+This engine serializes the same retained-command model as JSON (the wire
+format the bundled web viewer decodes); a protobuf encoding can be layered
+on the same command dicts.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from nimblephysics_tpu.dynamics import shapes as SH
+from nimblephysics_tpu.math import lie
+from nimblephysics_tpu.simulation.world import World, world_fk
+
+
+def _v(x) -> list:
+    return np.asarray(x, dtype=np.float64).reshape(-1).tolist()
+
+
+class GUIStateMachine:
+    """Retained scene state + dirty command queue."""
+
+    def __init__(self):
+        self._objects: Dict[str, dict] = {}
+        self._queue: List[dict] = []
+        self._lock = threading.Lock()
+
+    # -- primitives (reference: createBox/createSphere/... ) ----------------
+
+    def _create(self, key: str, cmd: dict) -> None:
+        with self._lock:
+            self._objects[key] = cmd
+            self._queue.append(cmd)
+
+    def create_box(self, key, size, pos=(0, 0, 0), euler=(0, 0, 0),
+                   color=(0.5, 0.5, 0.9, 1.0), layer=""):
+        self._create(key, dict(type="create_box", key=key, size=_v(size),
+                               pos=_v(pos), euler=_v(euler), color=_v(color),
+                               layer=layer))
+
+    def create_sphere(self, key, radius, pos=(0, 0, 0),
+                      color=(0.5, 0.5, 0.9, 1.0), layer=""):
+        self._create(key, dict(type="create_sphere", key=key,
+                               radius=float(radius), pos=_v(pos),
+                               color=_v(color), layer=layer))
+
+    def create_capsule(self, key, radius, length, pos=(0, 0, 0),
+                       euler=(0, 0, 0), color=(0.5, 0.5, 0.9, 1.0), layer=""):
+        self._create(key, dict(type="create_capsule", key=key,
+                               radius=float(radius), length=float(length),
+                               pos=_v(pos), euler=_v(euler), color=_v(color),
+                               layer=layer))
+
+    def create_line(self, key, points, color=(1.0, 0.5, 0.5, 1.0), layer=""):
+        self._create(key, dict(type="create_line", key=key,
+                               points=np.asarray(points).reshape(-1, 3).tolist(),
+                               color=_v(color), layer=layer))
+
+    def create_plane(self, key, normal=(0, 0, 1), offset=0.0,
+                     color=(0.6, 0.6, 0.6, 1.0), layer=""):
+        self._create(key, dict(type="create_plane", key=key, normal=_v(normal),
+                               offset=float(offset), color=_v(color),
+                               layer=layer))
+
+    def set_object_position(self, key, pos):
+        with self._lock:
+            self._queue.append(dict(type="set_pos", key=key, pos=_v(pos)))
+
+    def set_object_rotation(self, key, euler):
+        with self._lock:
+            self._queue.append(dict(type="set_euler", key=key, euler=_v(euler)))
+
+    def set_object_color(self, key, color):
+        with self._lock:
+            self._queue.append(dict(type="set_color", key=key, color=_v(color)))
+
+    def delete_object(self, key):
+        with self._lock:
+            self._objects.pop(key, None)
+            self._queue.append(dict(type="delete", key=key))
+
+    # -- UI widgets (reference: createText/createButton/createSlider/Plot) --
+
+    def create_text(self, key, contents, from_top_left=(10, 10), size=(200, 30)):
+        self._create(key, dict(type="create_text", key=key, contents=contents,
+                               pos=_v(from_top_left), size=_v(size)))
+
+    def create_button(self, key, label, from_top_left=(10, 50), size=(100, 30)):
+        self._create(key, dict(type="create_button", key=key, label=label,
+                               pos=_v(from_top_left), size=_v(size)))
+
+    def create_slider(self, key, from_top_left, size, min_val, max_val, value):
+        self._create(key, dict(type="create_slider", key=key,
+                               pos=_v(from_top_left), size=_v(size),
+                               min=float(min_val), max=float(max_val),
+                               value=float(value)))
+
+    def create_plot(self, key, from_top_left, size, xs, ys,
+                    min_x=None, max_x=None, min_y=None, max_y=None):
+        self._create(key, dict(type="create_plot", key=key,
+                               pos=_v(from_top_left), size=_v(size),
+                               xs=_v(xs), ys=_v(ys)))
+
+    def set_text_contents(self, key, contents):
+        with self._lock:
+            self._queue.append(dict(type="set_text", key=key, contents=contents))
+
+    # -- world rendering (reference: renderWorld, GUIStateMachine.cpp:46) ---
+
+    def render_world(self, world: World, q, prefix: str = "world") -> None:
+        """Create/update one object per collidable+visual shape."""
+        import jax.numpy as jnp
+
+        T_wb = np.asarray(world_fk(world, jnp.asarray(q)))
+        body_off = world.body_offsets()
+        for si, skel in enumerate(world.skeletons):
+            for bi, body in enumerate(skel.bodies):
+                gb = body_off[si] + bi
+                for k, shape in enumerate(body.shapes):
+                    key = f"{prefix}_{skel.name}_{body.name}_{k}"
+                    T_ws = T_wb[gb] @ shape.T_offset
+                    pos = T_ws[:3, 3]
+                    euler = np.asarray(
+                        lie.matrix_to_euler_xyz(T_ws[:3, :3])
+                    )
+                    color = (
+                        shape.color.tolist()
+                        if shape.color is not None
+                        else [0.5, 0.5, 0.9, 1.0]
+                    )
+                    if key not in self._objects:
+                        t = shape.shape_type
+                        if t == SH.BOX:
+                            self.create_box(key, shape.size, pos, euler, color)
+                        elif t in (SH.SPHERE,):
+                            self.create_sphere(key, shape.size[0], pos, color)
+                        elif t in (SH.CAPSULE, SH.CYLINDER, SH.CONE):
+                            self.create_capsule(
+                                key, shape.size[0], shape.size[1], pos, euler,
+                                color,
+                            )
+                        elif t == SH.ELLIPSOID:
+                            self.create_sphere(
+                                key, float(np.mean(shape.size)) / 2, pos, color
+                            )
+                        elif t == SH.PLANE:
+                            p = np.asarray(shape.size, dtype=np.float64)
+                            self.create_plane(key, p[:3], float(p[3]) if p.size > 3 else 0.0)
+                    else:
+                        self.set_object_position(key, pos)
+                        self.set_object_rotation(key, euler)
+
+    def render_trajectory_lines(self, world: World, poses, prefix="traj"):
+        """Reference parity: renderTrajectoryLines — one polyline per body
+        COM through the pose trajectory."""
+        import jax.numpy as jnp
+        import jax
+
+        traj = np.asarray(
+            jax.vmap(lambda qq: world_fk(world, qq))(jnp.asarray(poses))
+        )  # (T, NB, 4, 4)
+        for b in range(traj.shape[1]):
+            self.create_line(f"{prefix}_{b}", traj[:, b, :3, 3])
+
+    # -- command stream -------------------------------------------------------
+
+    def flush_json(self) -> Optional[str]:
+        """Drain pending commands as one JSON CommandList message."""
+        with self._lock:
+            if not self._queue:
+                return None
+            msg = json.dumps({"commands": self._queue})
+            self._queue = []
+            return msg
+
+    def full_state_json(self) -> str:
+        """Everything retained, for newly connected clients."""
+        with self._lock:
+            return json.dumps({"commands": list(self._objects.values())})

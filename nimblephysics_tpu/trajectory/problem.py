@@ -1,0 +1,247 @@
+"""Trajectory optimization problems: single / multiple shooting.
+
+TPU-native re-design of dart/trajectory (SURVEY.md 2.5): Problem
+(Problem.hpp:28-418, flattened variables + constraint dims + rollout
+cache), SingleShot (cached snapshot chain), MultiShot (MultiShot.hpp:
+282-285 knot-consistency constraints; thread-parallel per-shot
+computation on cloned worlds, MultiShot.cpp:189-225).
+
+Here a problem is a pure function of its flat variable vector:
+  * SingleShot: x = [start_state?, forces(T * na)], rollout = lax.scan of
+    the differentiable timestep; gradients via jax.grad (the reference's
+    accumulated KnotJacobian products fall out of reverse-mode AD).
+  * MultiShot: x = [shot start states, all forces]; shots roll out
+    IN PARALLEL under vmap — the TPU replacement for the reference's
+    std::thread pool over cloned worlds — with knot-consistency equality
+    constraints h(x) = 0 between consecutive shots.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nimblephysics_tpu.neural.timestep import Engine, get_engine
+from nimblephysics_tpu.simulation.world import World
+
+
+class TrajectoryRollout(NamedTuple):
+    """Reference parity: trajectory::TrajectoryRollout (poses/vels/forces
+    matrices per mapping, TrajectoryRollout.hpp:28-127)."""
+
+    poses: jnp.ndarray  # (T, nq)
+    vels: jnp.ndarray  # (T, nv)
+    forces: jnp.ndarray  # (T, na)
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {
+                "poses": np.asarray(self.poses).tolist(),
+                "vels": np.asarray(self.vels).tolist(),
+                "forces": np.asarray(self.forces).tolist(),
+            }
+        )
+
+
+# A loss is a callable TrajectoryRollout -> scalar (reference: LossFn
+# closures; gradients come from JAX instead of fill_gradients plumbing).
+LossFn = Callable[[TrajectoryRollout], jnp.ndarray]
+
+
+class Problem:
+    """Abstract trajectory NLP over a flat variable vector x.
+
+    Interface (reference Problem.hpp): flatten/unflatten, loss(x),
+    constraints h(x) (equalities), bounds, rollout extraction.
+    """
+
+    def __init__(self, world: World, loss_fn: LossFn, steps: int):
+        self.world = world
+        self.engine: Engine = get_engine(world)
+        self.loss_fn = loss_fn
+        self.steps = steps
+        self.nv = world.num_dofs
+        self.na = world.action_size
+
+    @property
+    def num_variables(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def num_constraints(self) -> int:
+        return 0
+
+    def loss(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.loss_fn(self.rollout(x))
+
+    def constraints(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros((0,), dtype=x.dtype)
+
+    def rollout(self, x: jnp.ndarray) -> TrajectoryRollout:
+        raise NotImplementedError
+
+    def initial_guess(self, start_state: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # -- shared rollout machinery -----------------------------------------
+
+    def _scan_rollout(self, state0: jnp.ndarray, forces: jnp.ndarray):
+        """(2nv,), (T, na) -> poses (T, nq), vels (T, nv) AFTER each step."""
+        nv = self.nv
+
+        def body(s, u):
+            s2 = self.engine.state_step(s, u)
+            return s2, s2
+
+        _, states = jax.lax.scan(body, state0, forces)
+        return states[:, :nv], states[:, nv:]
+
+
+class SingleShot(Problem):
+    """One rollout from a (fixed or tuned) start state.
+
+    Reference parity: trajectory::SingleShot (SingleShot.hpp:115 cached
+    snapshot chain; backpropJacobianOfFinalState:92 — here jax.jacrev of
+    `final_state`).
+    """
+
+    def __init__(
+        self,
+        world: World,
+        loss_fn: LossFn,
+        steps: int,
+        start_state: Optional[jnp.ndarray] = None,
+        tune_starting_state: bool = False,
+    ):
+        super().__init__(world, loss_fn, steps)
+        self.tune_starting_state = tune_starting_state
+        self.start_state = (
+            jnp.zeros(2 * self.nv) if start_state is None else start_state
+        )
+
+    @property
+    def num_variables(self) -> int:
+        n = self.steps * self.na
+        if self.tune_starting_state:
+            n += 2 * self.nv
+        return n
+
+    def _split(self, x):
+        if self.tune_starting_state:
+            s0 = x[: 2 * self.nv]
+            forces = x[2 * self.nv :].reshape(self.steps, self.na)
+        else:
+            s0 = self.start_state.astype(x.dtype)
+            forces = x.reshape(self.steps, self.na)
+        return s0, forces
+
+    def rollout(self, x: jnp.ndarray) -> TrajectoryRollout:
+        s0, forces = self._split(x)
+        poses, vels = self._scan_rollout(s0, forces)
+        return TrajectoryRollout(poses, vels, forces)
+
+    def final_state(self, x: jnp.ndarray) -> jnp.ndarray:
+        r = self.rollout(x)
+        return jnp.concatenate([r.poses[-1], r.vels[-1]])
+
+    def backprop_jacobian_of_final_state(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Reference parity: SingleShot::backpropJacobianOfFinalState."""
+        return jax.jacrev(self.final_state)(x)
+
+    def initial_guess(self, start_state: jnp.ndarray) -> jnp.ndarray:
+        forces = jnp.zeros((self.steps, self.na))
+        if self.tune_starting_state:
+            return jnp.concatenate([start_state, forces.reshape(-1)])
+        self.start_state = start_state
+        return forces.reshape(-1)
+
+
+class MultiShot(Problem):
+    """Multiple shooting: parallel shots + knot-consistency constraints.
+
+    Reference parity: trajectory::MultiShot — knot variables
+    (MultiShot.hpp:282-285) and per-shot parallelism (the reference's
+    mParallelWorlds thread pool, MultiShot.cpp:66-69, becomes `vmap` over
+    the shot axis: every shot integrates simultaneously on-device).
+    """
+
+    def __init__(
+        self,
+        world: World,
+        loss_fn: LossFn,
+        steps: int,
+        shot_length: int,
+        start_state: Optional[jnp.ndarray] = None,
+    ):
+        super().__init__(world, loss_fn, steps)
+        assert steps % shot_length == 0, "steps must divide into shots"
+        self.shot_length = shot_length
+        self.num_shots = steps // shot_length
+        self.start_state = (
+            jnp.zeros(2 * self.nv) if start_state is None else start_state
+        )
+
+    @property
+    def num_variables(self) -> int:
+        # Knot start states for shots 1..S-1 (shot 0 starts at the fixed
+        # start state) + all forces.
+        return (self.num_shots - 1) * 2 * self.nv + self.steps * self.na
+
+    @property
+    def num_constraints(self) -> int:
+        return (self.num_shots - 1) * 2 * self.nv
+
+    def _split(self, x):
+        nknot = (self.num_shots - 1) * 2 * self.nv
+        knots = x[:nknot].reshape(self.num_shots - 1, 2 * self.nv)
+        forces = x[nknot:].reshape(self.num_shots, self.shot_length, self.na)
+        starts = jnp.concatenate(
+            [self.start_state.astype(x.dtype)[None], knots], axis=0
+        )
+        return starts, forces
+
+    def _shot_states(self, x):
+        """All shots, in parallel: (S, L, 2nv) post-step states."""
+        starts, forces = self._split(x)
+
+        def one_shot(s0, us):
+            def body(s, u):
+                s2 = self.engine.state_step(s, u)
+                return s2, s2
+
+            _, states = jax.lax.scan(body, s0, us)
+            return states
+
+        return jax.vmap(one_shot)(starts, forces), forces
+
+    def rollout(self, x: jnp.ndarray) -> TrajectoryRollout:
+        states, forces = self._shot_states(x)
+        flat = states.reshape(self.steps, 2 * self.nv)
+        return TrajectoryRollout(
+            flat[:, : self.nv],
+            flat[:, self.nv :],
+            forces.reshape(self.steps, self.na),
+        )
+
+    def constraints(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Knot mismatches h(x) = end(shot_i) - start(shot_{i+1}) = 0
+        (reference: MultiShot::computeConstraints, MultiShot.cpp:183)."""
+        states, _ = self._shot_states(x)
+        starts, _ = self._split(x)
+        ends = states[:-1, -1, :]  # (S-1, 2nv)
+        return (ends - starts[1:]).reshape(-1)
+
+    def constraint_jacobian(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Reference parity: MultiShot::backpropJacobian (cpp:475)."""
+        return jax.jacrev(self.constraints)(x)
+
+    def initial_guess(self, start_state: jnp.ndarray) -> jnp.ndarray:
+        self.start_state = start_state
+        knots = jnp.tile(start_state[None], (self.num_shots - 1, 1))
+        forces = jnp.zeros((self.steps, self.na))
+        return jnp.concatenate([knots.reshape(-1), forces.reshape(-1)])
