@@ -48,4 +48,28 @@ def __getattr__(name):
         from nimblephysics_tpu.utils.universal_loader import load_world
 
         return load_world
+    if name == "absPath":
+        from nimblephysics_tpu.utils.universal_loader import abs_path
+
+        return abs_path
+    if name == "NimbleGUI":
+        from nimblephysics_tpu.server.gui_server import NimbleGUI
+
+        return NimbleGUI
+    if name == "forward_pass" or name == "forwardPass":
+        from nimblephysics_tpu.neural.backprop_snapshot import forward_pass
+
+        return forward_pass
+    if name == "map_to_pos":
+        from nimblephysics_tpu.neural.mappings import map_to_pos
+
+        return map_to_pos
+    if name == "map_to_vel":
+        from nimblephysics_tpu.neural.mappings import map_to_vel
+
+        return map_to_vel
+    if name == "BatchedEnv":
+        from nimblephysics_tpu.simulation.env import BatchedEnv
+
+        return BatchedEnv
     raise AttributeError(f"module 'nimblephysics_tpu' has no attribute {name!r}")

@@ -27,3 +27,8 @@ from nimblephysics_tpu.biomechanics.subject_on_disk import (
     SubjectOnDisk,
     write_b3d,
 )
+from nimblephysics_tpu.biomechanics.dynamics_fitter import (
+    DynamicsFitResult,
+    DynamicsFitter,
+)
+from nimblephysics_tpu.biomechanics.exo import ExoSolverPinnedContact

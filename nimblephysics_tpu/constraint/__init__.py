@@ -8,3 +8,4 @@ from nimblephysics_tpu.constraint.assembly import (
     tangent_basis,
 )
 from nimblephysics_tpu.constraint.lcp import LcpMeta, boxed_lcp
+from nimblephysics_tpu.constraint.lemke import lemke, validate_lcp_solution

@@ -60,7 +60,7 @@ class LcpMeta:
     iterations: int = 64
     tol: float = 1e-9  # classification tolerance (floored per dtype)
     ridge: float = 1e-10  # relative Tikhonov regularization (floored per dtype)
-    refine_rounds: int = 6  # active-set refinement rounds (masked Dantzig)
+    refine_rounds: int = 4  # active-set refinement rounds (masked Dantzig)
     k_active: int = 0  # gathered active-set size (0 = full n); set to
     # ~2*nv+8 by the assembler — clamping count is rank-bounded
     solver: str = "apgd"  # iterative seed solver: "apgd" (batched matvecs
@@ -182,10 +182,15 @@ def _classify(meta: LcpMeta, F, cfm, b, mu, z):
     return clamping, upper
 
 
-def _ridge_solve(meta: LcpMeta, M, rhs):
+def _ridge_solve(meta: LcpMeta, M, rhs, polish: bool = True):
     """Least-squares solve of M x = rhs via Tikhonov-regularized normal
     equations (differentiable; min-norm-ish for singular M — the analog of
-    the reference's least-squares standardization)."""
+    the reference's least-squares standardization).
+
+    polish=True adds one iterative-refinement step (cancels the ridge bias
+    so complementarity residuals stay at solver precision); intermediate
+    active-set refinement rounds skip it — only the classification signs
+    matter there."""
     k = M.shape[-1]
     MtM = jnp.swapaxes(M, -1, -2) @ M
     scale = jnp.trace(MtM, axis1=-2, axis2=-1) / k + 1.0
@@ -194,9 +199,8 @@ def _ridge_solve(meta: LcpMeta, M, rhs):
     Mtr = jnp.einsum("...ji,...j->...i", M, rhs)
     cho = jax.scipy.linalg.cho_factor(reg)
     x = jax.scipy.linalg.cho_solve(cho, Mtr)
-    # One step of iterative refinement on the normal equations: cancels
-    # most of the ridge bias so the complementarity residual of the
-    # pinned solution stays at solver precision.
+    if not polish:
+        return x
     r = Mtr - jnp.einsum(
         "...ji,...jk,...k->...i", M, M, x
     )
@@ -224,7 +228,8 @@ def _lcp_valid(meta: LcpMeta, F, cfm, b, mu, z):
     return jnp.all(ok_n & ok_f, axis=-1) & finite
 
 
-def _pinned_solve(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u):
+def _pinned_solve(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u,
+                  polish: bool = True):
     """Exactly solve the pinned active-set system; returns z over all rows.
 
     With P = diag(c) + E (UB friction coupled to its normal row by
@@ -277,9 +282,12 @@ def _pinned_solve(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u):
     def apply_P(zc):
         return S * zc + coeff * zc[..., fidx]
 
-    # Gather clamping rows first (stable) into a K-row system.
-    order = jnp.argsort(jnp.where(clamping, 0, 1), axis=-1, stable=True)
-    sel = order[..., :K]
+    # Gather clamping rows first into a K-row system. top_k instead of a
+    # full argsort (TPU sorts are slow); score = clamping-major with
+    # ascending-index tie-break keeps the selection stable.
+    idx = jnp.arange(n, dtype=dtype)
+    score = clamping.astype(dtype) * (2.0 * n) - idx
+    _, sel = jax.lax.top_k(score, K)
     G = jax.nn.one_hot(sel, n, dtype=dtype)  # (..., K, n)
     m = jnp.take_along_axis(S, sel, axis=-1)  # (..., K)
     GF = G @ F  # (..., K, r)
@@ -294,7 +302,7 @@ def _pinned_solve(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u):
         eyeK - m[..., :, None] * eyeK
     )
     rhs = jnp.einsum("...kn,...n->...k", G, b) * m
-    zcK = _ridge_solve(meta, Qm, rhs)
+    zcK = _ridge_solve(meta, Qm, rhs, polish=polish)
     z_C = jnp.einsum("...k,...kn->...n", zcK * m, G)
     return apply_P(z_C)
 
@@ -307,7 +315,9 @@ def _refine_masks(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u):
     resolves these inside Dantzig pivoting; here they are data-parallel
     mask updates."""
     tol = _dtype_tol(meta, F.dtype)
-    z = _pinned_solve(meta, F, cfm, b, mu, clamping, upper, sign_u)
+    # Cheap solve: intermediate rounds only need classification signs.
+    z = _pinned_solve(meta, F, cfm, b, mu, clamping, upper, sign_u,
+                      polish=False)
     w = _Av(F, cfm, z) - b
     isf = jnp.asarray(meta.is_friction)
     fidx = jnp.asarray(np.maximum(meta.findex, 0))

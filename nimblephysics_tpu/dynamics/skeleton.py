@@ -536,6 +536,72 @@ def mass_matrix_inv(skel: Skeleton, q: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.cho_solve(cho, eye)
 
 
+def mass_and_bias_fused(
+    skel: Skeleton,
+    q: jnp.ndarray,
+    v: jnp.ndarray,
+    gravity: Optional[jnp.ndarray] = None,
+    body_params: Optional[Dict] = None,
+    kin: Optional[Dict] = None,
+):
+    """(M, bias) from ONE kinematics pass — the TPU fast path.
+
+    Instead of nv forward-mode RNEA passes (mass_matrix) plus a bias RNEA,
+    use world-frame operators on the stacked body Jacobians:
+        M(q)  = sum_b J_b^T G_w,b J_b            (one einsum, MXU)
+        bias  = Mdot v - 1/2 d(v^T M v)/dq - g_gen   (Lagrangian identity,
+                one jvp + one reverse pass)
+        g_gen = sum_b J_b^T [c_b x m g; m g]     (gravity wrench)
+    Exactly equals the RNEA quantities (tested); ~3x fewer ops per step and
+    the kinematics pass is shared with collision. Returns (M, bias, kin).
+    """
+    dtype = q.dtype
+    nv = skel.num_dofs
+    if gravity is None:
+        gravity = jnp.asarray(DEFAULT_GRAVITY, dtype=dtype)
+    else:
+        gravity = jnp.asarray(gravity, dtype=dtype)
+
+    def M_of(qq, kin_in=None):
+        k = kin_in if kin_in is not None else full_kinematics(skel, qq)
+        Jw = k["J_world"]  # (nb, 6, nv)
+        G = _spatial_inertias(skel, dtype, body_params)
+        Ad_inv = jax.vmap(lambda T: lie.Ad(lie.transform_inv(T)))(k["T_wb"])
+        G_w = jnp.einsum(
+            "bji,bjk,bkl->bil", Ad_inv, jnp.stack(G), Ad_inv
+        )
+        M = jnp.einsum("bin,bij,bjm->nm", Jw, G_w, Jw)
+        return 0.5 * (M + M.T), k
+
+    M, kin_out = M_of(q, kin)
+
+    # Mdot v via jvp; dKE/dq via one reverse pass (shares the M graph).
+    Mdot = jax.jvp(lambda qq: M_of(qq)[0], (q,), (v,))[1]
+    ke_grad = jax.grad(lambda qq: 0.5 * v @ M_of(qq)[0] @ v)(q)
+
+    # Generalized gravity force about the world origin.
+    Jw = kin_out["J_world"]
+    if body_params is not None:
+        masses = body_params["masses"]
+        coms = body_params.get("coms")
+        if coms is None:
+            coms = jnp.stack(
+                [jnp.asarray(b.com, dtype=dtype) for b in skel.bodies]
+            )
+    else:
+        masses = jnp.asarray([b.mass for b in skel.bodies], dtype=dtype)
+        coms = jnp.stack(
+            [jnp.asarray(b.com, dtype=dtype) for b in skel.bodies]
+        )
+    c_w = jax.vmap(lie.transform_point)(kin_out["T_wb"], coms)
+    f = masses[:, None] * gravity[None, :]  # (nb, 3)
+    wrench = jnp.concatenate([jnp.cross(c_w, f), f], axis=-1)  # (nb, 6)
+    g_gen = jnp.einsum("bin,bi->n", Jw, wrench)
+
+    bias = Mdot @ v - ke_grad - g_gen
+    return M, bias, kin_out
+
+
 def passive_forces(skel: Skeleton, q: jnp.ndarray, dq: jnp.ndarray) -> jnp.ndarray:
     """Joint spring + damping generalized forces (added to control).
 

@@ -45,3 +45,5 @@ from nimblephysics_tpu.math.spatial import (
     inertia_capsule,
     inertia_ellipsoid,
 )
+from nimblephysics_tpu.math.iksolver import solve_ik
+from nimblephysics_tpu.math import splines

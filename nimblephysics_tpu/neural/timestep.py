@@ -36,6 +36,7 @@ from nimblephysics_tpu.constraint.assembly import ConstraintAssembler
 from nimblephysics_tpu.constraint.lcp import boxed_lcp
 from nimblephysics_tpu.dynamics.skeleton import (
     bias_forces,
+    mass_and_bias_fused,
     mass_matrix,
     passive_forces,
 )
@@ -101,25 +102,47 @@ class Engine:
         return out
 
     def _chol_and_bias(self, q, v, body_params=None):
-        """Per-skeleton Cholesky factors of M and bias C (block-diagonal
-        across skeletons; the L factors are reused by the smooth solve,
-        the factored Delassus operator F = J L^-T, and the impulse
-        back-substitution — one factorization per step)."""
+        """Per-skeleton Cholesky factors of M, bias C, and the shared
+        world kinematics, all from ONE kinematics pass per skeleton
+        (dynamics.mass_and_bias_fused). The L factors are reused by the
+        smooth solve, the factored Delassus operator F = J L^-T, and the
+        impulse back-substitution; the kinematics feed collision and
+        constraint assembly — nothing recomputes FK."""
         w = self.world
         dtype = q.dtype
+        nv = w.num_dofs
         g = jnp.asarray(w.gravity, dtype=dtype)
         bp = self._split_body_params(body_params)
         Ls = {}
-        C = jnp.zeros(w.num_dofs, dtype=dtype)
+        C = jnp.zeros(nv, dtype=dtype)
+        T_list, J_list = [], []
         for k, (skel, (s, e)) in enumerate(zip(w.skeletons, w.dof_slices())):
             if skel.num_dofs == 0:
+                from nimblephysics_tpu.dynamics.skeleton import (
+                    full_kinematics,
+                )
+
+                kin = full_kinematics(skel, q[s:e])
+                T_list.append(kin["T_wb"])
+                J_list.append(
+                    jnp.zeros((skel.num_bodies, 6, nv), dtype=dtype)
+                )
                 continue
-            Mk = mass_matrix(skel, q[s:e], body_params=bp[k])
-            Ls[k] = jnp.linalg.cholesky(Mk)
-            C = C.at[s:e].set(
-                bias_forces(skel, q[s:e], v[s:e], gravity=g, body_params=bp[k])
+            Mk, Ck, kin = mass_and_bias_fused(
+                skel, q[s:e], v[s:e], gravity=g, body_params=bp[k]
             )
-        return Ls, C
+            Ls[k] = jnp.linalg.cholesky(Mk)
+            C = C.at[s:e].set(Ck)
+            T_list.append(kin["T_wb"])
+            nb = skel.num_bodies
+            Jfull = jnp.zeros((nb, 6, nv), dtype=dtype)
+            Jfull = Jfull.at[:, :, s:e].set(kin["J_world"])
+            J_list.append(Jfull)
+        world_kin = {
+            "T_wb": jnp.concatenate(T_list, axis=0),
+            "J_world": jnp.concatenate(J_list, axis=0),
+        }
+        return Ls, C, world_kin
 
     def _minv_apply(self, Ls, x):
         """M^-1 x via the cached per-skeleton Cholesky factors."""
@@ -167,14 +190,14 @@ class Engine:
         nrows = self.assembler.num_rows
         C = self.collider.num_contacts
 
-        # 1. Smooth dynamics -> pre-constraint velocity.
-        Ls, bias = self._chol_and_bias(q, v, body_params)
+        # 1. Smooth dynamics -> pre-constraint velocity (kinematics shared
+        # with collision and constraint assembly below).
+        Ls, bias, kin = self._chol_and_bias(q, v, body_params)
         tau = control + self._passive(q, v)
         v_pre = v + dt * self._minv_apply(Ls, tau - bias)
 
         if nrows > 0:
             # 2. Collision at pre-step q; LCP on pre-constraint velocities.
-            kin = world_full_kinematics(w, q, v)
             contacts = self.collider.collide(q, T_wb=kin["T_wb"])
             Jm, b, mu, valid = self.assembler.assemble(
                 q, v_pre, contacts, kin["J_world"]

@@ -14,3 +14,9 @@ from nimblephysics_tpu.simulation.world import (
     world_integrate_positions,
     world_mass_matrix,
 )
+from nimblephysics_tpu.simulation.recording import (
+    Recording,
+    load_checkpoint,
+    save_checkpoint,
+)
+from nimblephysics_tpu.simulation.env import BatchedEnv, EnvState, StepOutput
