@@ -81,9 +81,24 @@ class ConstraintAssembler:
             if np.isfinite(hi[d]):
                 self.limit_rows.append(_LimitRow(d, -1.0, float(hi[d])))
 
+        # Motor rows (reference: ServoMotorConstraint /
+        # MimicMotorConstraint / locked joints) — one force-limited
+        # equality-seeking row per actuated dof.
+        self.motor_rows: List[dict] = []
+        for d in range(world.num_dofs):
+            act = world.dof_actuator(d)
+            if act["kind"] in ("servo", "mimic", "locked"):
+                self.motor_rows.append(dict(dof=d, **act))
+
+        # Dynamic joint constraint rows (weld = 6, ball = 3).
+        self.dyn_rows = 0
+        for con in world.dynamic_constraints:
+            self.dyn_rows += 6 if con["kind"] == "weld" else 3
+
         C = self.num_contacts
         L = len(self.limit_rows)
-        n = 3 * C + L
+        Mrows = len(self.motor_rows)
+        n = 3 * C + L + Mrows + self.dyn_rows
         findex = np.full(n, -1, dtype=np.int32)
         is_friction = np.zeros(n, dtype=bool)
         for c in range(C):
@@ -91,9 +106,24 @@ class ConstraintAssembler:
             findex[3 * c + 2] = 3 * c
             is_friction[3 * c + 1] = True
             is_friction[3 * c + 2] = True
+        # Constant box bounds: contacts/limits [0, inf); motor rows
+        # [-tau_max*dt, +tau_max*dt] (impulse bounds); dynamic-joint rows
+        # are equalities (-inf, +inf).
+        lo_const = np.zeros(n)
+        hi_const = np.full(n, np.inf)
+        dt = world.time_step
+        base = 3 * C + L
+        for i, mr in enumerate(self.motor_rows):
+            lim = mr["force_limit"] * dt
+            lo_const[base + i] = -lim
+            hi_const[base + i] = lim
+        lo_const[base + Mrows :] = -np.inf
+        has_boxes = Mrows > 0 or self.dyn_rows > 0
         self.meta = LcpMeta(
             findex=findex,
             is_friction=is_friction,
+            lo_const=lo_const if has_boxes else None,
+            hi_const=hi_const if has_boxes else None,
             iterations=world.solver.lcp_iterations,
             solver=world.solver.lcp_solver,
             # Clamping count is bounded by the impulse-space rank (~nv);
@@ -103,7 +133,12 @@ class ConstraintAssembler:
 
     @property
     def num_rows(self) -> int:
-        return 3 * self.num_contacts + len(self.limit_rows)
+        return (
+            3 * self.num_contacts
+            + len(self.limit_rows)
+            + len(self.motor_rows)
+            + self.dyn_rows
+        )
 
     def __hash__(self):
         return id(self)
@@ -150,6 +185,8 @@ class ConstraintAssembler:
         v_pre: jnp.ndarray,
         contacts: Contacts,
         J_world: jnp.ndarray,
+        T_wb: Optional[jnp.ndarray] = None,
+        control: Optional[jnp.ndarray] = None,
     ):
         """Build masked (J_masked, b, mu_rows, valid) for the boxed LCP.
 
@@ -245,6 +282,65 @@ class ConstraintAssembler:
             valids.append(valid_l)
             b_parts.append(b_l)
             mu_parts.append(jnp.zeros(L, dtype=dtype))
+
+        # Motor rows (servo: drive v toward the commanded velocity within
+        # force limits; mimic: track multiplier * v_other; locked: v = 0).
+        if self.motor_rows:
+            Mr = len(self.motor_rows)
+            Jm_ = np.zeros((Mr, nv))
+            for i, mr in enumerate(self.motor_rows):
+                Jm_[i, mr["dof"]] = 1.0
+                if mr["kind"] == "mimic" and mr["mimic_dof"] is not None:
+                    Jm_[i, mr["mimic_dof"]] = -mr["mimic_multiplier"]
+            Jm_j = jnp.asarray(Jm_, dtype=dtype)
+            targets = []
+            for mr in self.motor_rows:
+                if mr["kind"] == "servo" and control is not None:
+                    targets.append(control[mr["dof"]])
+                else:
+                    targets.append(jnp.asarray(0.0, dtype=dtype))
+            b_m = jnp.stack(targets) - Jm_j @ v_pre
+            rows.append(Jm_j)
+            valids.append(jnp.ones(Mr, dtype=bool))
+            b_parts.append(b_m)
+            mu_parts.append(jnp.zeros(Mr, dtype=dtype))
+
+        # Dynamic joint constraints (weld = 6 spatial rows, ball = 3 point
+        # rows) with ERP position stabilization.
+        if self.dyn_rows and T_wb is not None:
+            from nimblephysics_tpu.math import lie
+
+            gamma = cfg.error_reduction_parameter / dt
+            cap = cfg.max_error_reduction_velocity
+            for con in self.world.dynamic_constraints:
+                A_, B_ = con["body_a"], con["body_b"]
+                if con["kind"] == "ball":
+                    pA = lie.transform_point(
+                        T_wb[A_], jnp.asarray(con["offset_a"], dtype=dtype)
+                    )
+                    pB = lie.transform_point(
+                        T_wb[B_], jnp.asarray(con["offset_b"], dtype=dtype)
+                    )
+
+                    def pjac(Jw, pt):
+                        return Jw[3:] - lie.skew(pt) @ Jw[:3]
+
+                    Jrow = pjac(J_world[A_], pA) - pjac(J_world[B_], pB)
+                    err = pA - pB
+                    b_row = -(Jrow @ v_pre) - jnp.clip(
+                        gamma * err, -cap, cap
+                    )
+                    rows.append(Jrow)
+                    valids.append(jnp.ones(3, dtype=bool))
+                    b_parts.append(b_row)
+                    mu_parts.append(jnp.zeros(3, dtype=dtype))
+                else:  # weld: zero relative world-frame spatial velocity
+                    Jrow = J_world[A_] - J_world[B_]
+                    b_row = -(Jrow @ v_pre)
+                    rows.append(Jrow)
+                    valids.append(jnp.ones(6, dtype=bool))
+                    b_parts.append(b_row)
+                    mu_parts.append(jnp.zeros(6, dtype=dtype))
 
         J = jnp.concatenate(rows, axis=0)
         valid = jnp.concatenate(valids)

@@ -40,7 +40,7 @@ matmuls.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,11 @@ class LcpMeta:
 
     findex: np.ndarray  # (n,) int32
     is_friction: np.ndarray  # (n,) bool
+    # Constant box bounds per row (used by servo/mimic motor rows,
+    # reference: ServoMotorConstraint force limits). Friction rows ignore
+    # these (their box is +-mu z_n); normal rows default to [0, inf).
+    lo_const: Optional[np.ndarray] = None  # (n,)
+    hi_const: Optional[np.ndarray] = None  # (n,)
     iterations: int = 64
     tol: float = 1e-9  # classification tolerance (floored per dtype)
     ridge: float = 1e-10  # relative Tikhonov regularization (floored per dtype)
@@ -81,6 +86,21 @@ def _dtype_ridge(meta: LcpMeta, dtype) -> float:
     return max(meta.ridge, 50.0 * eps)
 
 
+def _const_bounds(meta: LcpMeta, dtype):
+    n = meta.n
+    lo = (
+        jnp.asarray(meta.lo_const, dtype=dtype)
+        if meta.lo_const is not None
+        else jnp.zeros(n, dtype=dtype)
+    )
+    hi = (
+        jnp.asarray(meta.hi_const, dtype=dtype)
+        if meta.hi_const is not None
+        else jnp.full(n, jnp.inf, dtype=dtype)
+    )
+    return lo, hi
+
+
 def _Av(F, cfm, y):
     """A y = F (F^T y) + cfm y without materializing A."""
     u = jnp.einsum("...nr,...n->...r", F, y)
@@ -100,6 +120,7 @@ def _pgs(meta: LcpMeta, F, cfm, b, mu, z0):
     inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
     isf = meta.is_friction
     fidx = meta.findex
+    lo_c, hi_c = _const_bounds(meta, F.dtype)
 
     def sweep(carry, _):
         z, u = carry
@@ -111,7 +132,7 @@ def _pgs(meta: LcpMeta, F, cfm, b, mu, z0):
                 bound = mu[..., i] * z[..., fidx[i]]
                 zi = jnp.clip(zi, -bound, bound)
             else:
-                zi = jnp.maximum(zi, 0.0)
+                zi = jnp.clip(zi, lo_c[i], hi_c[i])
             u = u + Fi * (zi - z[..., i])[..., None]
             z = z.at[..., i].set(zi)
         return (z, u), None
@@ -141,8 +162,10 @@ def _apgd(meta: LcpMeta, F, cfm, b, mu, z0):
     L = jnp.maximum(ray * 1.05, jnp.max(_diag_A(F, cfm), axis=-1)) + 1e-9
     step = 1.0 / L
 
+    lo_c, hi_c = _const_bounds(meta, F.dtype)
+
     def proj(y):
-        zn = jnp.where(isf, y, jnp.maximum(y, 0.0))
+        zn = jnp.where(isf, y, jnp.clip(y, lo_c, hi_c))
         bound = mu * jnp.maximum(zn[..., fidx], 0.0)
         return jnp.where(isf, jnp.clip(y, -bound, bound), zn)
 
@@ -162,24 +185,30 @@ def _apgd(meta: LcpMeta, F, cfm, b, mu, z0):
 
 
 def _classify(meta: LcpMeta, F, cfm, b, mu, z):
-    """CLAMPING / UPPER_BOUND masks from a solved LCP (discrete), with the
-    reference tie-breaks (zero/zero -> CLAMPING :507-513; degenerate
-    diagonal -> NOT_CLAMPING :564-580)."""
+    """CLAMPING / UPPER_BOUND / fixed-bound masks from a solved LCP
+    (discrete), with the reference tie-breaks (zero/zero -> CLAMPING
+    :507-513; degenerate diagonal -> NOT_CLAMPING :564-580). Non-friction
+    rows may carry constant box bounds (servo/mimic motors); rows pinned at
+    a finite bound are returned in `at_hi` / implied at-lo."""
     tol = _dtype_tol(meta, z.dtype)
     w = _Av(F, cfm, z) - b
     isf = jnp.asarray(meta.is_friction)
     fidx = jnp.asarray(np.maximum(meta.findex, 0))
     bound = mu * z[..., fidx]
     degenerate = _diag_A(F, cfm) < 1e-9
+    lo_c, hi_c = _const_bounds(meta, z.dtype)
 
-    n_clamp = (z > tol) | (jnp.abs(w) < tol)
+    inside = (z > lo_c + tol) & (z < hi_c - tol)
+    n_clamp = inside | (jnp.abs(w) < tol)
+    at_hi = (~n_clamp) & (z >= hi_c - tol) & jnp.isfinite(hi_c)
     no_normal = bound <= tol
     at_bound = (~no_normal) & (jnp.abs(z) >= bound - tol)
     f_clamp = (~no_normal) & (~at_bound)
 
     clamping = jnp.where(isf, f_clamp, n_clamp) & ~degenerate
     upper = jnp.where(isf, at_bound, jnp.zeros_like(at_bound)) & ~degenerate
-    return clamping, upper
+    at_hi = jnp.where(isf, False, at_hi) & ~degenerate
+    return clamping, upper, at_hi
 
 
 def _ridge_solve(meta: LcpMeta, M, rhs, polish: bool = True):
@@ -220,8 +249,14 @@ def _lcp_valid(meta: LcpMeta, F, cfm, b, mu, z):
     tol = max(1e-7, 1000.0 * float(jnp.finfo(z.dtype).eps))
     scale_w = 1.0 + jnp.max(jnp.abs(b), axis=-1, keepdims=True)
     scale_z = 1.0 + jnp.max(jnp.abs(z), axis=-1, keepdims=True)
+    lo_c, hi_c = _const_bounds(meta, z.dtype)
+    near_hi = (z >= hi_c - tol * scale_z) & jnp.isfinite(hi_c)
     ok_n = jnp.where(
-        isf, True, (z >= -tol * scale_z) & (w >= -10 * tol * scale_w)
+        isf,
+        True,
+        (z >= lo_c - tol * scale_z)
+        & (z <= hi_c + tol * scale_z)
+        & (near_hi | (w >= -10 * tol * scale_w)),
     )
     ok_f = jnp.where(isf, jnp.abs(z) <= bound + tol * scale_z, True)
     finite = jnp.all(jnp.isfinite(z), axis=-1)
@@ -229,7 +264,7 @@ def _lcp_valid(meta: LcpMeta, F, cfm, b, mu, z):
 
 
 def _pinned_solve(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u,
-                  polish: bool = True):
+                  at_hi=None, polish: bool = True):
     """Exactly solve the pinned active-set system; returns z over all rows.
 
     With P = diag(c) + E (UB friction coupled to its normal row by
@@ -279,8 +314,30 @@ def _pinned_solve(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u,
                 "un,...ur->...nr", jnp.asarray(E0, dtype=dtype), contrib
             )
 
+    # Rows pinned at finite constant bounds contribute a FIXED impulse
+    # (servo/mimic motor rows at their force limits): shift the rhs by
+    # A z_fixed and add z_fixed back at the end. Zero-cost when the meta
+    # declares no constant bounds.
+    has_boxes = meta.lo_const is not None or meta.hi_const is not None
+    if has_boxes and at_hi is not None:
+        lo_c, hi_c = _const_bounds(meta, dtype)
+        lo_safe = jnp.where(jnp.isfinite(lo_c), lo_c, 0.0)
+        hi_safe = jnp.where(jnp.isfinite(hi_c), hi_c, 0.0)
+        isf_m = jnp.asarray(meta.is_friction)
+        not_c = (~clamping) & (~isf_m)
+        z_fixed = jnp.where(
+            not_c, jnp.where(at_hi, hi_safe, lo_safe), 0.0
+        )
+        b_eff = b - _Av(F, cfm, z_fixed)
+    else:
+        z_fixed = None
+        b_eff = b
+
     def apply_P(zc):
-        return S * zc + coeff * zc[..., fidx]
+        out = S * zc + coeff * zc[..., fidx]
+        if z_fixed is not None:
+            out = out + z_fixed
+        return out
 
     # Gather clamping rows first into a K-row system. top_k instead of a
     # full argsort (TPU sorts are slow); score = clamping-major with
@@ -301,13 +358,14 @@ def _pinned_solve(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u,
     Qm = m[..., :, None] * Q * m[..., None, :] + (
         eyeK - m[..., :, None] * eyeK
     )
-    rhs = jnp.einsum("...kn,...n->...k", G, b) * m
+    rhs = jnp.einsum("...kn,...n->...k", G, b_eff) * m
     zcK = _ridge_solve(meta, Qm, rhs, polish=polish)
     z_C = jnp.einsum("...k,...kn->...n", zcK * m, G)
     return apply_P(z_C)
 
 
-def _refine_masks(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u):
+def _refine_masks(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u,
+                  at_hi):
     """One masked-Dantzig refinement round: exact-solve the current active
     set, then fix misclassifications (negative pinned normals leave C,
     violated complementarity joins C, friction beyond its cone moves to
@@ -317,18 +375,26 @@ def _refine_masks(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u):
     tol = _dtype_tol(meta, F.dtype)
     # Cheap solve: intermediate rounds only need classification signs.
     z = _pinned_solve(meta, F, cfm, b, mu, clamping, upper, sign_u,
-                      polish=False)
+                      at_hi=at_hi, polish=False)
     w = _Av(F, cfm, z) - b
     isf = jnp.asarray(meta.is_friction)
     fidx = jnp.asarray(np.maximum(meta.findex, 0))
     bound = mu * jnp.maximum(z[..., fidx], 0.0)
     degenerate = _diag_A(F, cfm) < 1e-9
+    lo_c, hi_c = _const_bounds(meta, F.dtype)
 
+    went_over = clamping & (z > hi_c + tol) & jnp.isfinite(hi_c)
     n_clamp = jnp.where(
         clamping,
-        z > -tol,  # stay unless the pinned impulse went negative
-        w < -tol,  # join if the gap rate is being violated
+        (z > lo_c - tol) & ~went_over,  # leave C if past either bound
+        # join C if the complementarity sign is violated at the bound
+        jnp.where(at_hi, w > tol, w < -tol),
     )
+    at_hi2 = jnp.where(
+        clamping,
+        went_over,  # clamped row that blew past its upper limit
+        jnp.where(at_hi, w <= tol, False),
+    ) & jnp.isfinite(hi_c)
     no_normal = bound <= tol
     over = jnp.abs(z) > bound + tol
     new_sign = jnp.where(jnp.abs(z) > tol, jnp.sign(z), sign_u)
@@ -337,7 +403,8 @@ def _refine_masks(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u):
     f_upper = jnp.where(upper, ub_consistent & ~no_normal, over & ~no_normal)
     clamping2 = jnp.where(isf, f_clamp, n_clamp) & ~degenerate
     upper2 = jnp.where(isf, f_upper, jnp.zeros_like(f_upper)) & ~degenerate
-    return clamping2, upper2, new_sign
+    at_hi2 = jnp.where(isf, False, at_hi2) & ~degenerate
+    return clamping2, upper2, new_sign, at_hi2
 
 
 def boxed_lcp(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0):
@@ -362,15 +429,17 @@ def boxed_lcp(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0):
     # gradients instead of none. Classification and refinement stay on
     # gradient-stopped values (discrete masks).
     z_seed = seed_fn(meta, F, cfm, b, mu, z_warm)
-    clamping, upper = _classify(meta, Fs, cfm, bs, mus, sg(z_seed))
+    clamping, upper, at_hi = _classify(meta, Fs, cfm, bs, mus, sg(z_seed))
     sign_u = jnp.sign(sg(z_seed))
     for _ in range(meta.refine_rounds):
-        clamping, upper, sign_u = _refine_masks(
-            meta, Fs, cfm, bs, mus, clamping, upper, sign_u
+        clamping, upper, sign_u, at_hi = _refine_masks(
+            meta, Fs, cfm, bs, mus, clamping, upper, sign_u, at_hi
         )
 
     # Final solve under gradient with the (discrete, stopped) active set.
-    z_pol = _pinned_solve(meta, F, cfm, b, mu, clamping, upper, sign_u)
+    z_pol = _pinned_solve(
+        meta, F, cfm, b, mu, clamping, upper, sign_u, at_hi=at_hi
+    )
 
     valid = sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_pol)))
     return jnp.where(valid[..., None], z_pol, z_seed)

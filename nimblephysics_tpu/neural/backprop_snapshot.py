@@ -110,7 +110,13 @@ class BackpropSnapshot:
     # -- RL-space Jacobians (reference: BackpropSnapshot.hpp:110-114) -------
 
     def get_state_jacobian(self) -> jnp.ndarray:
-        """d(next_state)/d(state), (2nv, 2nv)."""
+        """d(next_state)/d(state), (2nv, 2nv).
+
+        Honors the world's gradient debug modes (reference:
+        World::setUseFDOverride / setSlowDebugResultsAgainstFD,
+        World.hpp:700-713): FD override returns the finite-difference
+        Jacobian; slow-debug computes both and raises with a repro when
+        they diverge beyond world.fd_debug_tolerance."""
         nv = self.world.num_dofs
 
         def f(state):
@@ -119,10 +125,27 @@ class BackpropSnapshot:
             )
             return jnp.concatenate([q2, v2])
 
+        if self.world.use_fd_override:
+            return jnp.asarray(self.finite_difference_state_jacobian())
         key = "state"
         if key not in self._cache:
             self._cache[key] = jax.jacrev(f)(jnp.concatenate([self.q, self.v]))
-        return self._cache[key]
+        J = self._cache[key]
+        if self.world.slow_debug_results_against_fd:
+            fd = self.finite_difference_state_jacobian()
+            err = float(jnp.max(jnp.abs(J - fd)))
+            if err > self.world.fd_debug_tolerance:
+                raise AssertionError(
+                    "[slowDebugResultsAgainstFD] analytical state Jacobian "
+                    f"diverges from finite differences by {err:.3e} "
+                    f"(tolerance {self.world.fd_debug_tolerance:.1e}).\n"
+                    "Repro:\n"
+                    f"  q = {np.asarray(self.q).tolist()}\n"
+                    f"  v = {np.asarray(self.v).tolist()}\n"
+                    f"  control = {np.asarray(self.control).tolist()}\n"
+                    f"  world = {self.world!r}"
+                )
+        return J
 
     def get_action_jacobian(self) -> jnp.ndarray:
         """d(next_state)/d(action), (2nv, na)."""

@@ -193,14 +193,25 @@ class Engine:
         # 1. Smooth dynamics -> pre-constraint velocity (kinematics shared
         # with collision and constraint assembly below).
         Ls, bias, kin = self._chol_and_bias(q, v, body_params)
-        tau = control + self._passive(q, v)
+        # Non-force actuators (servo/mimic/locked) consume their control
+        # entry as a command, not a generalized force.
+        if w.actuator_types:
+            force_mask = np.ones(w.num_dofs)
+            for d, act in w.actuator_types.items():
+                if act["kind"] != "force":
+                    force_mask[d] = 0.0
+            tau = control * jnp.asarray(force_mask, dtype=dtype) + \
+                self._passive(q, v)
+        else:
+            tau = control + self._passive(q, v)
         v_pre = v + dt * self._minv_apply(Ls, tau - bias)
 
         if nrows > 0:
             # 2. Collision at pre-step q; LCP on pre-constraint velocities.
             contacts = self.collider.collide(q, T_wb=kin["T_wb"])
             Jm, b, mu, valid = self.assembler.assemble(
-                q, v_pre, contacts, kin["J_world"]
+                q, v_pre, contacts, kin["J_world"], T_wb=kin["T_wb"],
+                control=control,
             )
             # Factored Delassus operator: F = J L^-T per skeleton block,
             # A = F F^T (+ cfm I). Never materialize the n x n matrix.

@@ -13,7 +13,6 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from nimblephysics_tpu.neural.timestep import Engine, get_engine
 from nimblephysics_tpu.simulation.world import World
 
 
@@ -47,8 +46,13 @@ class BatchedEnv:
         horizon: int = 1000,
         batch_size: int = 1024,
     ):
+        # Lazy import: neural.timestep imports simulation.world, and this
+        # module is re-exported from simulation/__init__ — importing at
+        # module scope would be circular.
+        from nimblephysics_tpu.neural.timestep import get_engine
+
         self.world = world
-        self.engine: Engine = get_engine(world)
+        self.engine = get_engine(world)
         self.batch_size = batch_size
         nv = world.num_dofs
 

@@ -17,7 +17,7 @@ World.cpp:307-324), and the RL-style state/action accessors.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,8 +84,23 @@ class World:
         self.solver = solver or SolverConfig()
         self.skeletons: List[Skeleton] = []
         self._action_indices: Optional[np.ndarray] = None
+        # Dynamic joint constraints (reference: ConstraintBase family —
+        # WeldJointConstraint, BallJointConstraint added by users).
+        self.dynamic_constraints: List[dict] = []
+        # Per-dof actuator types (reference: Joint::ActuatorType — FORCE,
+        # SERVO [control = velocity command, force-limited], MIMIC, LOCKED,
+        # PASSIVE).
+        self.actuator_types: Dict[int, dict] = {}
         # Reference-parity integration-scheme knob (World.cpp:82: true).
         self.parallel_velocity_and_position_updates = True
+        # Gradient debug modes (reference: World.hpp:700-713 —
+        # setUseFDOverride / setSlowDebugResultsAgainstFD): FD override
+        # makes BackpropSnapshot return finite-difference Jacobians;
+        # slow-debug computes both and raises with a repro when they
+        # diverge.
+        self.use_fd_override = False
+        self.slow_debug_results_against_fd = False
+        self.fd_debug_tolerance = 1e-5
         # Max contact slots override (None = static pair enumeration).
         self.max_contacts: Optional[int] = None
 
@@ -94,6 +109,56 @@ class World:
     def add_skeleton(self, skel: Skeleton) -> int:
         self.skeletons.append(skel)
         return len(self.skeletons) - 1
+
+    def add_ball_joint_constraint(
+        self, body_a: int, offset_a, body_b: int, offset_b
+    ) -> None:
+        """Constrain a point of body_a to a point of body_b (reference:
+        constraint::BallJointConstraint). Global body indices."""
+        self.dynamic_constraints.append(
+            dict(
+                kind="ball",
+                body_a=int(body_a),
+                offset_a=np.asarray(offset_a, dtype=np.float64),
+                body_b=int(body_b),
+                offset_b=np.asarray(offset_b, dtype=np.float64),
+            )
+        )
+
+    def add_weld_joint_constraint(self, body_a: int, body_b: int) -> None:
+        """Lock the relative spatial velocity of two bodies (reference:
+        constraint::WeldJointConstraint)."""
+        self.dynamic_constraints.append(
+            dict(kind="weld", body_a=int(body_a), body_b=int(body_b))
+        )
+
+    def set_actuator_type(
+        self,
+        dof: int,
+        kind: str,
+        force_limit: float = np.inf,
+        mimic_dof: Optional[int] = None,
+        mimic_multiplier: float = 1.0,
+        mimic_offset: float = 0.0,
+    ) -> None:
+        """kind: 'force' (default), 'servo' (control = velocity command,
+        enforced by a force-limited LCP row — ServoMotorConstraint),
+        'mimic' (track another dof — MimicMotorConstraint), 'locked',
+        'passive'."""
+        assert kind in ("force", "servo", "mimic", "locked", "passive")
+        self.actuator_types[int(dof)] = dict(
+            kind=kind,
+            force_limit=float(force_limit),
+            mimic_dof=mimic_dof,
+            mimic_multiplier=float(mimic_multiplier),
+            mimic_offset=float(mimic_offset),
+        )
+
+    def dof_actuator(self, dof: int) -> dict:
+        return self.actuator_types.get(
+            dof, dict(kind="force", force_limit=np.inf, mimic_dof=None,
+                      mimic_multiplier=1.0, mimic_offset=0.0)
+        )
 
     # -- static bookkeeping --------------------------------------------------
 
