@@ -7,3 +7,4 @@ contact counts and validity masks.
 from nimblephysics_tpu.collision.collider import Collider, Contacts
 from nimblephysics_tpu.collision import narrowphase
 from nimblephysics_tpu.collision.raycast import RayHit, raycast
+from nimblephysics_tpu.collision.distance import DistanceResult, distance, pairwise_distances

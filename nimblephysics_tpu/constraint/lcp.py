@@ -65,7 +65,7 @@ class LcpMeta:
     iterations: int = 64
     tol: float = 1e-9  # classification tolerance (floored per dtype)
     ridge: float = 1e-10  # relative Tikhonov regularization (floored per dtype)
-    refine_rounds: int = 4  # active-set refinement rounds (masked Dantzig)
+    refine_rounds: int = 3  # active-set refinement rounds (masked Dantzig)
     k_active: int = 0  # gathered active-set size (0 = full n); set to
     # ~2*nv+8 by the assembler — clamping count is rank-bounded
     solver: str = "apgd"  # iterative seed solver: "apgd" (batched matvecs

@@ -41,3 +41,9 @@ from nimblephysics_tpu.dynamics.skeleton import (
     relative_jacobian,
     relative_transform,
 )
+from nimblephysics_tpu.dynamics.simple_featherstone import (
+    FlatChain,
+    aba_forward_dynamics,
+    flatten_chain,
+)
+from nimblephysics_tpu.dynamics.skeleton import default_body_params, mass_and_bias_fused

@@ -13,7 +13,9 @@ from nimblephysics_tpu.neural.timestep import (
 from nimblephysics_tpu.neural.backprop_snapshot import (
     BackpropSnapshot,
     LossGradient,
+    MappedBackpropSnapshot,
     forward_pass,
+    mapped_forward_pass,
 )
 from nimblephysics_tpu.neural.with_respect_to import (
     ACCELERATION,

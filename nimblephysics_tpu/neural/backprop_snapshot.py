@@ -281,3 +281,47 @@ def forward_pass(
         masses=masses,
         clip_loss_gradients_to_bounds=clip_loss_gradients_to_bounds,
     )
+
+
+class MappedBackpropSnapshot(BackpropSnapshot):
+    """BackpropSnapshot with losses expressed in mapped spaces.
+
+    Reference parity: neural::MappedBackpropSnapshot
+    (MappedBackpropSnapshot.hpp:78) — gradients arrive in one or more
+    Mapping spaces (e.g. body-space positions from an IKMapping) and are
+    pulled back through the mapping Jacobians at the post-step state
+    before the regular world-space backprop.
+    """
+
+    def __init__(self, world, q, v, control, mappings, **kw):
+        super().__init__(world, q, v, control, **kw)
+        self.mappings = dict(mappings)  # name -> Mapping
+
+    def map_post_step(self, name: str):
+        """Mapped positions/velocities of the post-step state."""
+        m = self.mappings[name]
+        return m.map_pos(self.q_next), m.map_vel(self.q_next, self.v_next)
+
+    def backprop_mapped(self, name: str, loss_wrt_mapped_pos,
+                        loss_wrt_mapped_vel=None) -> LossGradient:
+        """Pull mapped-space gradients back to world space, then backprop."""
+        m = self.mappings[name]
+        _, vjp_pos = jax.vjp(m.map_pos, self.q_next)
+        gq_next = vjp_pos(loss_wrt_mapped_pos)[0]
+        gv_next = jnp.zeros_like(self.v_next)
+        if loss_wrt_mapped_vel is not None:
+            _, vjp_vel = jax.vjp(m.map_vel, self.q_next, self.v_next)
+            gq2, gv2 = vjp_vel(loss_wrt_mapped_vel)
+            gq_next = gq_next + gq2
+            gv_next = gv_next + gv2
+        return self.backprop(gq_next, gv_next)
+
+
+def mapped_forward_pass(world, state, action, mappings, **kw
+                        ) -> MappedBackpropSnapshot:
+    """Reference parity: neural::mappedForwardPass (NeuralUtils.cpp:70)."""
+    nv = world.num_dofs
+    control = world.action_to_forces(action)
+    return MappedBackpropSnapshot(
+        world, state[:nv], state[nv:], control, mappings, **kw
+    )

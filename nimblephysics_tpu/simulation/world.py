@@ -47,7 +47,7 @@ class SolverConfig:
     """
 
     lcp_solver: str = "apgd"  # iterative seed: "apgd" (TPU) | "pgs"
-    lcp_iterations: int = 48
+    lcp_iterations: int = 32
     cfm: float = 0.0
     fallback_cfm: float = 1e-4
     error_allowance: float = 0.0

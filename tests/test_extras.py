@@ -184,3 +184,78 @@ class TestExoSolver:
         np.testing.assert_allclose(
             np.asarray(achieved), np.asarray(target), atol=1e-6
         )
+
+
+class TestSimpleFeatherstone:
+    def test_aba_matches_dense(self):
+        from nimblephysics_tpu.dynamics import (
+            PRISMATIC,
+            REVOLUTE,
+            Skeleton,
+            aba_forward_dynamics,
+            flatten_chain,
+            forward_dynamics,
+        )
+
+        rng = np.random.RandomState(0)
+        T = np.eye(4)
+        T[2, 3] = -0.3
+        sk = Skeleton("chain")
+        p = -1
+        for i in range(6):
+            jt = PRISMATIC if i == 3 else REVOLUTE
+            ax = rng.randn(3)
+            ax /= np.linalg.norm(ax)
+            p = sk.add_joint_and_body(
+                jt, parent=p, axis=ax, T_pj=T if i else np.eye(4),
+                T_cj=np.eye(4) if i % 2 else T, mass=0.5 + i * 0.2,
+                com=rng.randn(3) * 0.05, inertia=np.eye(3) * 0.02,
+            )
+        chain = flatten_chain(sk)
+        g = jnp.array([0.0, 0.0, -9.81])
+        q = jnp.asarray(rng.randn(6) * 0.4)
+        dq = jnp.asarray(rng.randn(6))
+        tau = jnp.asarray(rng.randn(6))
+        d1 = forward_dynamics(sk, q, dq, tau, gravity=g)
+        d2 = aba_forward_dynamics(chain, q, dq, tau, g)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-8)
+
+
+class TestDistance:
+    def test_min_distance_sphere_above_ground(self):
+        from nimblephysics_tpu.collision import distance
+
+        from worlds import free_sphere, ground_plane
+        from nimblephysics_tpu.simulation import World
+
+        w = World()
+        w.add_skeleton(free_sphere(radius=0.1))
+        w.add_skeleton(ground_plane())
+        q = jnp.zeros(6).at[5].set(0.5)
+        res = distance(w, q)
+        np.testing.assert_allclose(float(res.min_distance), 0.4, atol=1e-9)
+        # differentiable: d(dist)/d(height) = 1
+        g = jax.grad(lambda qq: distance(w, qq).min_distance)(q)
+        np.testing.assert_allclose(float(g[5]), 1.0, atol=1e-9)
+
+
+class TestMappedSnapshot:
+    def test_backprop_mapped_matches_chain_rule(self):
+        from nimblephysics_tpu.neural import IKMapping, mapped_forward_pass
+        from nimblephysics_tpu.simulation import World
+        from worlds import cartpole
+
+        w = World(gravity=(0, -9.81, 0))
+        w.add_skeleton(cartpole())
+        m = IKMapping(w).add_linear_body_node(1)
+        state = jnp.array([0.1, 0.3, 0.2, -0.1])
+        snap = mapped_forward_pass(w, state, jnp.zeros(2), {"ik": m})
+        gpos = jnp.array([1.0, -2.0, 0.5])
+        g = snap.backprop_mapped("ik", gpos)
+        # chain rule by hand: d(map(q'))/d(inputs) via full jacobians
+        Jm = m.map_pos_jacobian(snap.q_next)
+        gq_next = Jm.T @ gpos
+        expected = snap.get_pos_pos_jacobian().T @ gq_next
+        np.testing.assert_allclose(
+            np.asarray(g.loss_wrt_position), np.asarray(expected), atol=1e-9
+        )
