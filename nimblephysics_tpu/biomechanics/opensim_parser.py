@@ -84,10 +84,18 @@ class OpenSimFile:
 
 
 def parse_osim(path: str, geometry_folder: str = "") -> OpenSimFile:
+    """Parse OpenSim 3.x (joints nested in bodies) or 4.x (separate
+    JointSet with PhysicalOffsetFrames) models."""
     tree = ET.parse(path)
     root = tree.getroot()
     model = root.find("Model")
     assert model is not None, "not an OpenSim <Model> document"
+
+    joint_set = model.find("JointSet")
+    if joint_set is not None and joint_set.find("objects") is not None:
+        objs = joint_set.find("objects")
+        if len(objs) and objs[0].findtext("socket_parent_frame"):
+            return _parse_v4(model)
 
     body_set = model.find("BodySet")
     bodies_xml = body_set.find("objects").findall("Body")
@@ -258,6 +266,181 @@ def _add_body(skel, bx, jx, parent_idx, coordinate_names) -> int:
         idx = skel.add_joint_and_body(JT.WELD, parent=parent_idx, name=bname,
                                       T_pj=T_pj, T_cj=T_cj, mass=mass,
                                       com=com, inertia=I)
+        coord_names = []
+    coordinate_names.extend(coord_names)
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# OpenSim 4.x: BodySet + separate JointSet with PhysicalOffsetFrames.
+# ---------------------------------------------------------------------------
+
+
+def _parse_v4(model: ET.Element) -> OpenSimFile:
+    body_xml: Dict[str, ET.Element] = {}
+    for bx in model.find("BodySet").find("objects").findall("Body"):
+        body_xml[bx.get("name")] = bx
+
+    def body_info(name):
+        bx = body_xml[name]
+        mass = float(bx.findtext("mass", "1"))
+        com = _floats(bx.findtext("mass_center", "0 0 0"))
+        iv = _floats(bx.findtext("inertia", "0.01 0.01 0.01 0 0 0"))
+        I = np.array(
+            [
+                [iv[0], iv[3], iv[4]],
+                [iv[3], iv[1], iv[5]],
+                [iv[4], iv[5], iv[2]],
+            ]
+        )
+        if np.all(np.abs(I) < 1e-12):
+            I = np.eye(3) * max(mass, 1e-3) * 1e-4
+        return mass, com, I
+
+    # Joints: resolve offset frames to (parent body, T_pj, child body, T_cj).
+    joints = []
+    for jx in model.find("JointSet").find("objects"):
+        frames = {}
+        fr = jx.find("frames")
+        if fr is not None:
+            for fx in fr.findall("PhysicalOffsetFrame"):
+                parent_path = (fx.findtext("socket_parent") or "").strip()
+                parent_body = parent_path.split("/")[-1]
+                T = _euler_xyz_T(
+                    _floats(fx.findtext("translation", "0 0 0")),
+                    _floats(fx.findtext("orientation", "0 0 0")),
+                )
+                frames[fx.get("name")] = (parent_body, T)
+
+        def resolve(sock_text):
+            sock = (sock_text or "").strip()
+            key = sock.split("/")[-1]
+            if key in frames:
+                return frames[key]
+            return key, np.eye(4)  # direct body/ground socket
+
+        pbody, T_pj = resolve(jx.findtext("socket_parent_frame"))
+        cbody, T_cj = resolve(jx.findtext("socket_child_frame"))
+        joints.append((jx, pbody, T_pj, cbody, T_cj))
+
+    # Topological add.
+    skel = Skeleton(model.get("name", "osim"))
+    index_of: Dict[str, int] = {"ground": -1, "": -1}
+    coordinate_names: List[str] = []
+    pending = list(joints)
+    while pending:
+        progressed = False
+        remaining = []
+        for item in pending:
+            jx, pbody, T_pj, cbody, T_cj = item
+            if pbody not in index_of:
+                remaining.append(item)
+                continue
+            idx = _add_joint_v4(
+                skel, jx, index_of[pbody], T_pj, T_cj,
+                cbody, body_info(cbody), coordinate_names,
+            )
+            index_of[cbody] = idx
+            progressed = True
+        if not progressed:
+            raise ValueError(
+                f"unresolved joint parents: {[i[1] for i in remaining]}"
+            )
+        pending = remaining
+
+    markers: Dict[str, Tuple[int, np.ndarray, bool]] = {}
+    mset = model.find("MarkerSet")
+    if mset is not None and mset.find("objects") is not None:
+        for mx in mset.find("objects").findall("Marker"):
+            body = mx.findtext("body") or (
+                mx.findtext("socket_parent_frame", "").split("/")[-1]
+            )
+            if body in index_of and index_of[body] >= 0:
+                markers[mx.get("name")] = (
+                    index_of[body],
+                    _floats(mx.findtext("location", "0 0 0")),
+                    mx.findtext("fixed", "false").strip().lower() == "true",
+                )
+    return OpenSimFile(skel, markers, coordinate_names)
+
+
+def _add_joint_v4(skel, jx, parent_idx, T_pj, T_cj, bname, info,
+                  coordinate_names) -> int:
+    mass, com, I = info
+    coords = []
+    cx = jx.find("coordinates")
+    if cx is not None:
+        coords = cx.findall("Coordinate")
+    coord_names = [c.get("name") for c in coords]
+    lowers, uppers = [], []
+    for c in coords:
+        rng = c.findtext("range")
+        if rng and c.findtext("clamped", "false").strip().lower() == "true":
+            lo, hi = _floats(rng)[:2]
+        else:
+            lo, hi = -np.inf, np.inf
+        lowers.append(lo)
+        uppers.append(hi)
+
+    kwargs = dict(T_pj=T_pj, T_cj=T_cj, mass=mass, com=com, inertia=I)
+    if coord_names:
+        kwargs.update(
+            position_lower=np.asarray(lowers),
+            position_upper=np.asarray(uppers),
+        )
+
+    tag = jx.tag
+    if tag == "PinJoint" and coord_names:
+        idx = skel.add_joint_and_body(
+            JT.REVOLUTE, parent=parent_idx, name=bname,
+            axes=np.array([[0.0, 0.0, 1.0]]), **kwargs,
+        )
+    elif tag == "UniversalJoint" and coord_names:
+        idx = skel.add_joint_and_body(
+            JT.UNIVERSAL, parent=parent_idx, name=bname,
+            axes=np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]), **kwargs,
+        )
+    elif tag == "BallJoint" and coord_names:
+        idx = skel.add_joint_and_body(
+            JT.BALL, parent=parent_idx, name=bname, **kwargs,
+        )
+    elif tag == "FreeJoint":
+        idx = skel.add_joint_and_body(
+            JT.FREE, parent=parent_idx, name=bname, T_pj=T_pj, T_cj=T_cj,
+            mass=mass, com=com, inertia=I,
+        )
+        coord_names = coord_names or [f"{bname}_free_{k}" for k in range(6)]
+    elif tag == "CustomJoint" and coord_names:
+        st = jx.find("SpatialTransform")
+        axes_r, axes_t, fns, drives = [], [], [], []
+        for ax in st.findall("TransformAxis"):
+            axis = _floats(ax.findtext("axis", "1 0 0"))
+            cname = (ax.findtext("coordinates") or "").strip()
+            drive = coord_names.index(cname) if cname in coord_names else -1
+            fn = _parse_function(ax.find("function")) if ax.find(
+                "function"
+            ) is not None else splines.constant(0.0)
+            if ax.get("name", "").startswith("rotation"):
+                axes_r.append(axis)
+            else:
+                axes_t.append(axis)
+            fns.append(fn)
+            drives.append(drive)
+        cj = CustomJointDef(
+            n_dofs=len(coord_names),
+            rot_axes=np.asarray(axes_r[:3] + [[1, 0, 0]] * (3 - len(axes_r))),
+            trans_axes=np.asarray(axes_t[:3] + [[1, 0, 0]] * (3 - len(axes_t))),
+            functions=tuple(fns),
+            drives=tuple(drives),
+        )
+        idx = skel.add_joint_and_body(
+            JT.CUSTOM, parent=parent_idx, name=bname, custom=cj, **kwargs,
+        )
+    else:  # WeldJoint / unknown / no coordinates
+        idx = skel.add_joint_and_body(
+            JT.WELD, parent=parent_idx, name=bname, T_pj=T_pj, T_cj=T_cj,
+            mass=mass, com=com, inertia=I,
+        )
         coord_names = []
     coordinate_names.extend(coord_names)
     return idx

@@ -231,3 +231,35 @@ class TestAnthropometrics:
         )
         g2 = g.condition({"a": 1.0})
         np.testing.assert_allclose(g2.mu, [0.9], atol=1e-12)
+
+
+OSIM_V4 = "/root/reference/data/osim/CompleteHumanModel/CompleteHumanModel.osim"
+
+
+@pytest.mark.skipif(not os.path.exists(OSIM_V4), reason="no reference osim data")
+class TestOpenSimV4:
+    def test_parse_complete_human_model(self):
+        """OpenSim 4.x format: separate JointSet with PhysicalOffsetFrames."""
+        from nimblephysics_tpu.biomechanics import parse_osim
+        from nimblephysics_tpu.dynamics import forward_kinematics
+
+        f = parse_osim(OSIM_V4)
+        sk = f.skeleton
+        assert sk.num_bodies == 26
+        assert sk.num_dofs == 36
+        assert len(f.markers) == 114
+        assert "pelvis_tilt" in f.coordinate_names
+        T = forward_kinematics(sk, jnp.zeros(sk.num_dofs))
+        assert bool(jnp.all(jnp.isfinite(T)))
+        # Marker world positions must evaluate on the 4.x model too.
+        from nimblephysics_tpu.biomechanics.scaled_fk import (
+            marker_table,
+            marker_world_positions,
+        )
+
+        names, bodies, offsets, fixed = marker_table(sk)
+        p = marker_world_positions(
+            sk, jnp.zeros(sk.num_dofs), bodies, jnp.asarray(offsets)
+        )
+        assert p.shape == (114, 3)
+        assert bool(jnp.all(jnp.isfinite(p)))
