@@ -69,13 +69,16 @@ class OpenSimFile:
     """Parsed model: skeleton + markers (+ coordinate name table).
 
     Reference parity: biomechanics::OpenSimFile returned by
-    OpenSimParser::parseOsim.
+    OpenSimParser::parseOsim. Markers are also registered on the skeleton
+    (skeleton.markers) so marker_table/MarkerFitter work directly.
     """
 
     def __init__(self, skeleton: Skeleton, markers, coordinate_names):
         self.skeleton = skeleton
         # markers: name -> (body_index, local_offset, fixed)
         self.markers: Dict[str, Tuple[int, np.ndarray, bool]] = markers
+        for name, (b, off, fixed) in markers.items():
+            skeleton.add_marker(name, b, off, fixed)
         self.coordinate_names: List[str] = coordinate_names
 
     @property
