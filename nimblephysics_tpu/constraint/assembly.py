@@ -217,7 +217,12 @@ class ConstraintAssembler:
 
         if C > 0:
             Jc = self.contact_jacobian(contacts, J_world)  # (3C, nv)
-            valid_c = contacts.depth > 0.0
+            # Contacts beyond the clipping depth are treated as impossible
+            # penetrations and skipped (reference: ConstraintSolver.cpp:600,
+            # World contact-clipping knob, World.hpp:665-673).
+            valid_c = (contacts.depth > 0.0) & (
+                contacts.depth <= cfg.contact_clipping_depth
+            )
             # per-row validity: repeat per 3 rows
             valid_rows_c = jnp.repeat(valid_c, 3)
             relv = Jc @ v_pre  # (3C,)
