@@ -245,16 +245,24 @@ def box_box_sat(T_a, half_a, T_b, half_b):
     for i in range(3):
         for j in range(3):
             axis = jnp.cross(R_a[:, i], R_b[:, j])
-            norm = jnp.linalg.norm(axis)
-            safe = jnp.maximum(norm, 1e-9)
-            u = axis / safe
+            # AD-safe normalization: the norm has a NaN gradient at zero
+            # (parallel edges) — double-where guard.
+            n2 = jnp.sum(axis * axis)
+            degen = n2 < 1e-12
+            norm = jnp.sqrt(jnp.where(degen, 1.0, n2))
+            norm = jnp.where(degen, 0.0, norm)
+            u = jnp.where(degen, jnp.zeros_like(axis), axis) / jnp.where(
+                degen, 1.0, norm
+            )
             # Project both boxes on u.
             ra = jnp.sum(half_a * jnp.abs(R_a.T @ u))
             rb = jnp.sum(half_b * jnp.abs(R_b.T @ u))
             dist = jnp.dot(u, p_b - p_a)
             sep = jnp.abs(dist) - (ra + rb)
-            # Degenerate (parallel edges): force this axis out of contention.
-            sep = jnp.where(norm < 1e-6, jnp.asarray(1e9, dtype=dtype), sep)
+            # Degenerate (parallel edges): exclude from BOTH the separation
+            # certificate and the axis selection (-inf loses every argmax
+            # and never certifies separation).
+            sep = jnp.where(norm < 1e-6, jnp.asarray(-jnp.inf, dtype=dtype), sep)
             axis_w = u * jnp.sign(dist + 1e-30)
             world_axes.append(axis_w)
             seps.append(sep)
@@ -263,7 +271,9 @@ def box_box_sat(T_a, half_a, T_b, half_b):
     seps_arr = jnp.stack(seps)
     pen_arr = jnp.asarray(penalties, dtype=dtype)
     axes_arr = jnp.stack(world_axes)  # axis points from A toward B
-    best = jnp.argmin(seps_arr + pen_arr)
+    # SAT picks the axis of LEAST penetration (max separation); edge axes
+    # carry a small penalty so faces win near-ties (ODE behavior).
+    best = jnp.argmax(seps_arr - pen_arr)
     sep_best = seps_arr[best]
     # Contact normal must point from B to A (push A away from B).
     n = -axes_arr[best]
@@ -286,13 +296,16 @@ def box_box_sat(T_a, half_a, T_b, half_b):
     # plane point = p_a + support_A(-n), normal n (pointing B->A).
     support_a = jnp.sum(half_a * jnp.abs(R_a.T @ n))
     plane_off = jnp.dot(n, p_a) - support_a  # A occupies n.x >= plane_off
-    # Depth of each B corner behind A's face plane:
-    depths = plane_off - corners_b @ n
+    # Depth of each B corner behind A's face plane (penetrating corners
+    # satisfy n . c >= plane_off):
+    depths = corners_b @ n - plane_off
     # Also require the corner to be (nearly) inside A's slab region laterally?
     # For the static manifold we accept all penetrating corners; PGS handles
     # the redundancy, and the LCP dedup mirrors LCPUtils merging.
-    # Gate validity on the SAT overlap itself:
-    depths = jnp.where(sep_best < 0.0, depths, -jnp.ones_like(depths))
+    # Gate validity on the SAT overlap itself (ANY separating axis =>
+    # no contact):
+    separated = jnp.max(seps_arr) >= 0.0
+    depths = jnp.where(separated, -jnp.ones_like(depths), depths)
     points = corners_b + 0.5 * depths[:, None] * n
     normals = jnp.broadcast_to(n, (8, 3))
     return points, normals, depths
