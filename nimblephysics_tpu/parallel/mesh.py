@@ -73,7 +73,10 @@ def sharded_train_step(
     over ICI (the only collective). This is BASELINE config #5
     (4096-world policy-gradient loop) in its multi-chip form.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     nv = engine.world.num_dofs
 
@@ -103,6 +106,6 @@ def sharded_train_step(
         mesh=mesh,
         in_specs=(P(), P(WORLDS_AXIS)),
         out_specs=(P(), P(WORLDS_AXIS), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
