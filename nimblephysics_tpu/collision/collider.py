@@ -112,15 +112,27 @@ class Collider:
                     if shape.collidable:
                         entries.append((body_off[si] + bi, si, bi, shape))
 
-        def adjacent(si_a, bi_a, si_b, bi_b) -> bool:
-            """BodyNodeCollisionFilter parity: skip joint-connected bodies
-            (reference: CollisionFilter.hpp:91-111)."""
+        def filtered(ga, si_a, bi_a, gb, si_b, bi_b) -> bool:
+            """BodyNodeCollisionFilter parity (CollisionFilter.hpp:91-111):
+            explicit ShouldCollide overrides win; same-skeleton pairs are
+            skipped unless the skeleton enables self-collision, and
+            joint-adjacent pairs additionally require the adjacent-body
+            check flag (DART defaults: both disabled)."""
+            key = (min(ga, gb), max(ga, gb))
+            if key in w.collision_overrides:
+                return not w.collision_overrides[key]
             if si_a != si_b:
                 return False
             if bi_a == bi_b:
                 return True
-            ja = w.skeletons[si_a].joints
-            return ja[bi_a].parent == bi_b or ja[bi_b].parent == bi_a
+            skel = w.skeletons[si_a]
+            if not skel.self_collision_enabled:
+                return True
+            ja = skel.joints
+            adjacent = (
+                ja[bi_a].parent == bi_b or ja[bi_b].parent == bi_a
+            )
+            return adjacent and not skel.adjacent_body_check
 
         def is_static(si) -> bool:
             return w.skeletons[si].num_dofs == 0
@@ -129,7 +141,7 @@ class Collider:
             for j in range(i + 1, len(entries)):
                 ga, sa_i, ba_i, sa = entries[i]
                 gb, sb_i, bb_i, sb = entries[j]
-                if adjacent(sa_i, ba_i, sb_i, bb_i):
+                if filtered(ga, sa_i, ba_i, gb, sb_i, bb_i):
                     continue
                 if is_static(sa_i) and is_static(sb_i):
                     continue

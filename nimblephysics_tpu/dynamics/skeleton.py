@@ -63,7 +63,21 @@ class Skeleton:
         # Mocap markers: name -> (body index, local offset (3,), fixed).
         # Reference parity: dynamics::Marker attached to BodyNodes.
         self.markers: Dict[str, Tuple[int, np.ndarray, bool]] = {}
+        # Collision filter flags (reference parity: DART Skeleton
+        # self-collision check — disabled by default — and the adjacent
+        # body check, dart/collision/CollisionFilter.hpp:91-111 /
+        # BodyNodeCollisionFilter). When self-collision is enabled,
+        # joint-adjacent pairs still only collide if adjacent_body_check
+        # is also enabled.
+        self.self_collision_enabled = False
+        self.adjacent_body_check = False
         self._frozen = False
+
+    def set_self_collision_check(self, enabled: bool) -> None:
+        self.self_collision_enabled = bool(enabled)
+
+    def set_adjacent_body_check(self, enabled: bool) -> None:
+        self.adjacent_body_check = bool(enabled)
 
     def add_marker(
         self, name: str, body: int, offset, fixed: bool = False

@@ -103,6 +103,20 @@ class World:
         self.fd_debug_tolerance = 1e-5
         # Max contact slots override (None = static pair enumeration).
         self.max_contacts: Optional[int] = None
+        # Explicit per-pair collision overrides keyed by a global body
+        # index pair (reference parity: CollisionFilter explicit
+        # ShouldCollide pairs, CollisionFilter.hpp:91-111). True forces
+        # the pair to collide even when skeleton flags would skip it;
+        # False force-disables it.
+        self.collision_overrides: Dict[Tuple[int, int], bool] = {}
+
+    def set_should_collide(
+        self, body_a: int, body_b: int, should: bool
+    ) -> None:
+        """Explicitly enable/disable collision between two bodies
+        (global body indices; see body_offsets)."""
+        key = (min(body_a, body_b), max(body_a, body_b))
+        self.collision_overrides[key] = bool(should)
 
     # -- construction ------------------------------------------------------
 
