@@ -20,11 +20,11 @@ BASELINE_STEPS_PER_SEC = 1_000_000.0  # north-star target
 
 
 def main():
+    from nimblephysics_tpu.batched import BatchedEngine
     from nimblephysics_tpu.models import half_cheetah
-    from nimblephysics_tpu.neural.timestep import Engine
 
     world, q0, v0 = half_cheetah()
-    engine = Engine(world)
+    engine = BatchedEngine(world)  # batch-minor layout: worlds in lanes
     dtype = jnp.float32
 
     nv = world.num_dofs
@@ -33,40 +33,27 @@ def main():
     # Batch of worlds: settled-ish start, slight height jitter so contact
     # patterns differ across the batch (realistic LCP load).
     key = jax.random.PRNGKey(0)
-    states = jnp.tile(
-        jnp.asarray(np.concatenate([q0, v0]), dtype)[None], (BATCH, 1)
-    )
-    states = states.at[:, 1].add(
-        jax.random.uniform(key, (BATCH,), dtype, -0.02, 0.02)
-    )
-    actions = 0.5 * jax.random.normal(key, (BATCH, na), dtype)
+    q = jnp.tile(jnp.asarray(q0, dtype)[:, None], (1, BATCH))
+    q = q.at[1].add(jax.random.uniform(key, (BATCH,), dtype, -0.02, 0.02))
+    v = jnp.tile(jnp.asarray(v0, dtype)[:, None], (1, BATCH))
+    actions = 0.5 * jax.random.normal(key, (na, BATCH), dtype)
 
-    nrows = engine.assembler.num_rows
-    full_actions = jax.vmap(world.action_to_forces)(actions)
-
-    def one(q, v, u, z):
-        r = engine.step(q, v, u, z_warm=z)
-        return r.q, r.v, r.impulses
-
-    step = jax.vmap(one)
+    nrows = engine.num_rows
+    full_actions = engine.action_to_forces(actions)
 
     @jax.jit
-    def rollout(carry, actions):
+    def rollout(carry, u):
         # Warm-start the LCP from the previous step's impulses (reference
         # parity: cached LCP solutions, World.hpp:690-698).
         def body(c, _):
             q, v, z = c
-            q, v, z = step(q, v, actions, z)
-            return (q, v, z), None
+            r = engine.step(q, v, u, z_warm=z)
+            return (r.q, r.v, r.impulses), None
 
         c, _ = jax.lax.scan(body, carry, None, length=INNER_STEPS)
         return c
 
-    carry = (
-        states[:, :nv],
-        states[:, nv:],
-        jnp.zeros((BATCH, nrows), dtype),
-    )
+    carry = (q, v, jnp.zeros((nrows, BATCH), dtype))
     # Compile + warm up.
     carry = rollout(carry, full_actions)
     jax.block_until_ready(carry)

@@ -1,0 +1,140 @@
+"""Batch-minor engine (nimblephysics_tpu.batched) vs the reference-parity
+vmapped engine: values and gradients must agree to solver precision.
+
+This is the correctness gate for the TPU throughput path (VERDICT round-1
+item #1): the batched engine is only allowed to be a LAYOUT change, never a
+semantics change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nimblephysics_tpu.batched import BatchedEngine
+from nimblephysics_tpu.models import box_drop, cartpole, half_cheetah
+from nimblephysics_tpu.neural.timestep import Engine
+
+
+def _batch_states(world, q0, rng, B, drop=0.0, spread=0.03):
+    nv = world.num_dofs
+    q = np.tile(np.asarray(q0, np.float64)[:, None], (1, B))
+    q += spread * rng.randn(nv, B)
+    if drop:
+        q[1] += drop
+    v = 0.3 * rng.randn(nv, B)
+    u = 0.3 * rng.randn(nv, B)
+    return jnp.asarray(q), jnp.asarray(v), jnp.asarray(u)
+
+
+CASES = [
+    ("cartpole", cartpole, 0.0),
+    ("half_cheetah_air", half_cheetah, 0.0),
+    ("half_cheetah_ground", half_cheetah, -0.55),  # feet in contact
+    ("box_drop", box_drop, 0.0),
+]
+
+
+@pytest.mark.parametrize("name,mk,drop", CASES, ids=[c[0] for c in CASES])
+def test_batched_matches_vmapped_engine(name, mk, drop):
+    world, q0, v0 = mk()
+    eng = Engine(world)
+    beng = BatchedEngine(world)
+    B = 4
+    rng = np.random.RandomState(7)
+    q, v, u = _batch_states(world, q0, rng, B, drop=drop)
+    nr = eng.assembler.num_rows
+    z = jnp.zeros((nr, B), dtype=q.dtype)
+
+    def one(qq, vv, uu, zz):
+        r = eng.step(qq, vv, uu, z_warm=zz)
+        return r.q, r.v, r.impulses
+
+    onev = jax.jit(jax.vmap(one))
+    saw_contact = False
+    for _ in range(4):
+        qo, vo, zo = onev(q.T, v.T, u.T, z.T)
+        res = beng.step(q, v, u, z_warm=z)
+        np.testing.assert_allclose(
+            np.asarray(res.q).T, np.asarray(qo), atol=1e-10, rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.v).T, np.asarray(vo), atol=1e-9, rtol=1e-9
+        )
+        saw_contact |= bool((np.asarray(res.contact_depths) > 0).any())
+        q, v, z = res.q, res.v, res.impulses
+    if name == "half_cheetah_ground":
+        assert saw_contact, "ground case must exercise the contact LCP"
+
+
+def test_batched_gradients_match_through_contact():
+    world, q0, v0 = half_cheetah()
+    eng = Engine(world)
+    beng = BatchedEngine(world)
+    B = 3
+    rng = np.random.RandomState(3)
+    q, v, u = _batch_states(world, q0, rng, B, drop=-0.55, spread=0.02)
+
+    def loss_b(q, v, u):
+        r = beng.step(q, v, u)
+        return jnp.sum(r.q ** 2) + jnp.sum(r.v ** 2)
+
+    def loss_o(q, v, u):
+        def one(qq, vv, uu):
+            r = eng.step(qq, vv, uu)
+            return jnp.sum(r.q ** 2) + jnp.sum(r.v ** 2)
+
+        return jnp.sum(jax.vmap(one)(q, v, u))
+
+    gb = jax.grad(loss_b, argnums=(0, 1, 2))(q, v, u)
+    go = jax.grad(loss_o, argnums=(0, 1, 2))(q.T, v.T, u.T)
+    for a, b in zip(gb, go):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b).T, atol=1e-8, rtol=1e-7
+        )
+
+
+def test_batched_free_joint_drop_and_rest():
+    """Free-joint box falls, contacts, and comes to rest on the plane
+    (exp-map integration + box-plane manifold in the batched path)."""
+    world, q0, v0 = box_drop()
+    beng = BatchedEngine(world)
+    B = 2
+    nv = world.num_dofs
+    q = jnp.asarray(
+        np.tile(np.asarray(q0, np.float64)[:, None], (1, B))
+    )
+    q = q.at[5].set(jnp.asarray([0.30, 0.32]))  # start closer to the ground
+    v = jnp.zeros((nv, B))
+    u = jnp.zeros((nv, B))
+    z = jnp.zeros((beng.num_rows, B))
+
+    @jax.jit
+    def roll(q, v, z):
+        def body(c, _):
+            q, v, z = c
+            r = beng.step(q, v, u, z_warm=z)
+            return (r.q, r.v, r.impulses), r.contact_depths
+
+        (q, v, z), depths = jax.lax.scan(body, (q, v, z), None, length=400)
+        return q, v, depths
+
+    q, v, depths = roll(q, v, z)
+    assert bool((np.asarray(depths) > 0).any()), "box never touched ground"
+    # Settled: negligible velocity, box top face above the plane.
+    assert float(jnp.abs(v).max()) < 0.05
+    assert float(q[5].min()) > 0.0
+
+
+def test_batched_state_step_and_actions():
+    world, q0, v0 = half_cheetah()
+    beng = BatchedEngine(world)
+    B = 3
+    nv = world.num_dofs
+    state = jnp.asarray(
+        np.tile(np.concatenate([q0, v0])[:, None], (1, B))
+    )
+    action = jnp.asarray(0.1 * np.random.RandomState(0).randn(6, B))
+    out = beng.state_step(state, action)
+    assert out.shape == (2 * nv, B)
+    assert bool(jnp.all(jnp.isfinite(out)))
