@@ -15,4 +15,6 @@ from nimblephysics_tpu.parallel.mesh import (
     shard_worlds,
     sharded_env_step,
     sharded_train_step,
+    shard_worlds_minor,
+    sharded_train_step_batched,
 )

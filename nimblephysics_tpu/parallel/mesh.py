@@ -109,3 +109,69 @@ def sharded_train_step(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Batch-minor (lane-major) variants for nimblephysics_tpu.batched
+# ---------------------------------------------------------------------------
+
+
+def shard_worlds_minor(mesh: Mesh, batch):
+    """Place a batch-minor pytree (world batch = TRAILING axis) with that
+    axis sharded over the mesh: (..., B) -> P(None, ..., 'worlds')."""
+
+    def put(x):
+        spec = P(*([None] * (x.ndim - 1) + [WORLDS_AXIS]))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def sharded_train_step_batched(
+    bengine,
+    mesh: Mesh,
+    policy_apply: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    horizon: int = 8,
+    learning_rate: float = 1e-3,
+):
+    """Policy-gradient train step over the mesh for the batch-minor engine.
+
+    Identical layout story to sharded_train_step (params replicated, worlds
+    sharded, one psum over ICI) with states (2nv, B) sharded on the
+    TRAILING axis — per chip the local shard keeps its lane-major layout,
+    so multi-chip scaling preserves the single-chip throughput design.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def local_loss(params, states):
+        def body(s, _):
+            a = policy_apply(params, s)  # (na, B_local)
+            s2 = bengine.state_step(s, a)
+            r = s2[0] - s[0] - 1e-3 * jnp.sum(a * a, axis=0)
+            return s2, r
+
+        states2, rs = jax.lax.scan(body, states, None, length=horizon)
+        return -jnp.mean(jnp.sum(rs, axis=0)), states2
+
+    def train_step_local(params, states):
+        (loss, states2), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, states)
+        loss = jax.lax.pmean(loss, WORLDS_AXIS)
+        grads = jax.lax.pmean(grads, WORLDS_AXIS)
+        params = jax.tree.map(
+            lambda p, g: p - learning_rate * g, params, grads
+        )
+        return params, states2, loss
+
+    fn = shard_map(
+        train_step_local,
+        mesh=mesh,
+        in_specs=(P(), P(None, WORLDS_AXIS)),
+        out_specs=(P(), P(None, WORLDS_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
