@@ -75,7 +75,7 @@ def _canonical_pair(sa: SH.ShapeSpec, sb: SH.ShapeSpec):
         (SH.CAPSULE, SH.PLANE): ("capsule_plane", 2),
         (SH.CAPSULE, SH.SPHERE): ("capsule_sphere", 1),
         (SH.CAPSULE, SH.CAPSULE): ("capsule_capsule", 1),
-        (SH.CAPSULE, SH.BOX): ("capsule_box", 2),
+        (SH.CAPSULE, SH.BOX): ("capsule_box", 3),
         (SH.BOX, SH.BOX): ("box_box", 8),
     }
     if (ta_n, tb_n) in table:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from nimblephysics_tpu.math import lie
@@ -45,8 +46,7 @@ def sphere_plane(center, radius, plane_normal, plane_offset):
     """
     dist = jnp.dot(center, plane_normal) - plane_offset
     depth = radius - dist
-    point = center - plane_normal * (dist + (radius - dist) * 0.0 + 0.0)
-    # Put the point at the deepest sphere point pulled up half the depth:
+    # Deepest sphere point pulled up half the depth (midpoint convention):
     point = center - plane_normal * (radius - 0.5 * depth)
     return point[None], plane_normal[None], depth[None]
 
@@ -93,7 +93,7 @@ def sphere_box(center, radius, T_box, half_extents):
     n_world = lie.transform_vector(T_box, n_local)
     surf_local = jnp.where(outside, clamped, c_local - n_local * dist_in)
     point_world = lie.transform_point(T_box, surf_local)
-    point = point_world + n_world * (0.0 - 0.5 * (depth - radius) - 0.0) * 0.0
+    # Midpoint of the penetration interval:
     point = 0.5 * (point_world + (center - n_world * radius))
     return point[None], n_world[None], depth[None]
 
@@ -185,21 +185,47 @@ def capsule_capsule(T_a, r_a, h_a, T_b, r_b, h_b):
 
 
 def capsule_box(T_cap, radius, height, T_box, half_extents):
-    """Capsule (A) vs box (B): 2 slots (one per sampled segment point).
+    """Capsule (A) vs box (B): 3 slots — the two end spheres plus a FLANK
+    slot at the closest segment<->box point pair (fixes the cylinder-flank
+    vs box-face contact the 2-end-sphere approximation misses; the
+    reference routes this pair through libccd MPR, one contact,
+    DARTCollide.cpp:1884-1990).
 
-    Approximate: treats the capsule's two end-spheres against the box.
-    (The reference routes this pair through libccd MPR, one contact.)
+    The flank point is found by fixed-iteration alternating projection
+    between the two convex sets (segment, box) — converges geometrically,
+    differentiable, AD-safe.
     """
     dtype = T_cap.dtype
     axis = lie.transform_vector(T_cap, jnp.array([0.0, 0.0, 1.0], dtype=dtype))
     c = T_cap[:3, 3]
-    ends = jnp.stack([c - axis * (height / 2.0), c + axis * (height / 2.0)])
+    a = c - axis * (height / 2.0)
+    b = c + axis * (height / 2.0)
     pts, ns, ds = [], [], []
-    for i in range(2):
-        p, n, d = sphere_box(ends[i], radius, T_box, half_extents)
+    for end in (a, b):
+        p, n, d = sphere_box(end, radius, T_box, half_extents)
         pts.append(p[0])
         ns.append(n[0])
         ds.append(d[0])
+    # Flank: alternate projections segment -> box -> segment (8 rounds).
+    T_inv = lie.transform_inv(T_box)
+    p_seg = c  # start at the capsule center
+    for _ in range(8):
+        p_local = lie.transform_point(T_inv, p_seg)
+        p_box = lie.transform_point(
+            T_box, jnp.clip(p_local, -half_extents, half_extents)
+        )
+        p_seg = _segment_closest_point(p_box, a, b)
+    p3, n3, d3 = sphere_box(p_seg, radius, T_box, half_extents)
+    # Avoid triple-counting when the flank point collapses onto an end:
+    # mask the flank slot if it sits within 5% of the half height of
+    # either end point.
+    t_end = jnp.minimum(
+        jnp.linalg.norm(p_seg - a), jnp.linalg.norm(p_seg - b)
+    )
+    dup = t_end < 0.05 * (height / 2.0) + 1e-9
+    pts.append(p3[0])
+    ns.append(n3[0])
+    ds.append(jnp.where(dup, -1.0, d3[0]))
     return jnp.stack(pts), jnp.stack(ns), jnp.stack(ds)
 
 
@@ -272,42 +298,225 @@ def box_box_sat(T_a, half_a, T_b, half_b):
     pen_arr = jnp.asarray(penalties, dtype=dtype)
     axes_arr = jnp.stack(world_axes)  # axis points from A toward B
     # SAT picks the axis of LEAST penetration (max separation); edge axes
-    # carry a small penalty so faces win near-ties (ODE behavior).
-    best = jnp.argmax(seps_arr - pen_arr)
-    sep_best = seps_arr[best]
-    # Contact normal must point from B to A (push A away from B).
-    n = -axes_arr[best]
-
-    # Manifold: corners of B below A's supporting plane along n, and corners
-    # of A above B's supporting plane — 8 slots from the incident box (B),
-    # depth measured as interpenetration along n of each B corner against
-    # A's support plane.
-    signs = jnp.array(
-        [
-            [sx, sy, sz]
-            for sx in (-1.0, 1.0)
-            for sy in (-1.0, 1.0)
-            for sz in (-1.0, 1.0)
-        ],
-        dtype=dtype,
-    )
-    corners_b = (signs * half_b) @ R_b.T + p_b  # (8,3) world
-    # Support plane of A along direction -n (A's furthest extent toward B):
-    # plane point = p_a + support_A(-n), normal n (pointing B->A).
-    support_a = jnp.sum(half_a * jnp.abs(R_a.T @ n))
-    plane_off = jnp.dot(n, p_a) - support_a  # A occupies n.x >= plane_off
-    # Depth of each B corner behind A's face plane (penetrating corners
-    # satisfy n . c >= plane_off):
-    depths = corners_b @ n - plane_off
-    # Also require the corner to be (nearly) inside A's slab region laterally?
-    # For the static manifold we accept all penetrating corners; PGS handles
-    # the redundancy, and the LCP dedup mirrors LCPUtils merging.
-    # Gate validity on the SAT overlap itself (ANY separating axis =>
-    # no contact):
+    # carry a small penalty so faces win near-ties (ODE behavior,
+    # collideBoxBox fudge factor).
+    score = seps_arr - pen_arr
+    best = jnp.argmax(score)
     separated = jnp.max(seps_arr) >= 0.0
-    depths = jnp.where(separated, -jnp.ones_like(depths), depths)
-    points = corners_b + 0.5 * depths[:, None] * n
-    normals = jnp.broadcast_to(n, (8, 3))
+
+    # --- Two-sided face manifolds with exact lateral clipping ------------
+    # (reference: DARTCollide.cpp:1452 collideBoxBox's intersectRectQuad
+    # clipping of the incident face against the reference face). Both the
+    # A-reference and B-reference manifolds are computed; masks select the
+    # winner. The intersection polygon's vertices are enumerated directly
+    # (corners-inside + edge crossings, <= 8 live) instead of sequential
+    # Sutherland-Hodgman — static shapes, pure masked arithmetic.
+    bestA = jnp.argmax(score[0:3])
+    bestB = jnp.argmax(score[3:6])
+    ptsA, nrmA, depA = _box_face_manifold(
+        R_a, p_a, half_a, R_b, p_b, half_b, bestA, flip_normal=True
+    )
+    ptsB, nrmB, depB = _box_face_manifold(
+        R_b, p_b, half_b, R_a, p_a, half_a, bestB, flip_normal=False
+    )
+
+    # --- Edge-edge contact (single slot) ----------------------------------
+    bestE = jnp.argmax(score[6:15])
+    ptsE, nrmE, depE = _box_edge_contact(
+        R_a, p_a, half_a, R_b, p_b, half_b, bestE, axes_arr[6 + bestE],
+        seps_arr[6 + bestE],
+    )
+
+    is_face_a = best < 3
+    is_face_b = (best >= 3) & (best < 6)
+    pts = jnp.where(
+        is_face_a, ptsA, jnp.where(is_face_b, ptsB, ptsE)
+    )
+    nrm = jnp.where(
+        is_face_a, nrmA, jnp.where(is_face_b, nrmB, nrmE)
+    )
+    dep = jnp.where(
+        is_face_a, depA, jnp.where(is_face_b, depB, depE)
+    )
+    dep = jnp.where(separated, -jnp.ones_like(dep), dep)
+    return pts, nrm, dep
+
+
+def _box_face_manifold(R_r, p_r, h_r, R_i, p_i, h_i, face_idx, flip_normal):
+    """Clipped face-face manifold: reference box (R_r, p_r, h_r) face
+    `face_idx` (traced int in [0,3)) against the incident box's most
+    anti-parallel face. Returns 8 slots (points, normals, depths); invalid
+    slots have depth = -1. `flip_normal`: True when the reference box is
+    body A (contact normal points B -> A = against the ref face normal).
+    """
+    dtype = R_r.dtype
+    e = jax.nn.one_hot(face_idx, 3, dtype=dtype)
+    e_u = jax.nn.one_hot((face_idx + 1) % 3, 3, dtype=dtype)
+    e_v = jax.nn.one_hot((face_idx + 2) % 3, 3, dtype=dtype)
+    a_r = R_r @ e  # ref face axis (world, unsigned)
+    sgn = jnp.sign(jnp.dot(a_r, p_i - p_r) + 1e-30)
+    n_ref = a_r * sgn  # points from ref box toward incident box
+    u = R_r @ e_u
+    v = R_r @ e_v
+    h_face = jnp.dot(h_r, e)
+    h_u = jnp.dot(h_r, e_u)
+    h_v = jnp.dot(h_r, e_v)
+    face_origin = p_r + n_ref * h_face  # center of the ref face
+
+    # Incident face: the face of the incident box most anti-parallel to
+    # n_ref.
+    dots = R_i.T @ n_ref  # (3,)
+    inc_idx = jnp.argmax(jnp.abs(dots))
+    ei = jax.nn.one_hot(inc_idx, 3, dtype=dtype)
+    ei_u = jax.nn.one_hot((inc_idx + 1) % 3, 3, dtype=dtype)
+    ei_v = jax.nn.one_hot((inc_idx + 2) % 3, 3, dtype=dtype)
+    s_i = -jnp.sign(jnp.dot(dots, ei) + 1e-30)  # face pointing at ref box
+    n_inc = (R_i @ ei) * s_i
+    inc_center = p_i + n_inc * jnp.dot(h_i, ei)
+    iu = R_i @ ei_u
+    iv = R_i @ ei_v
+    hi_u = jnp.dot(h_i, ei_u)
+    hi_v = jnp.dot(h_i, ei_v)
+
+    # Incident face corners in the ref-face 2D frame (xi along u, eta
+    # along v, measured from face_origin).
+    corner_signs = jnp.asarray(
+        [[1.0, 1.0], [1.0, -1.0], [-1.0, -1.0], [-1.0, 1.0]], dtype=dtype
+    )
+    corners3d = (
+        inc_center[None, :]
+        + corner_signs[:, 0:1] * hi_u * iu[None, :]
+        + corner_signs[:, 1:2] * hi_v * iv[None, :]
+    )  # (4, 3), in CCW-ish order around the incident face
+    rel = corners3d - face_origin[None, :]
+    quad = jnp.stack([rel @ u, rel @ v], axis=1)  # (4, 2)
+
+    # Candidate intersection-polygon vertices (24 = 4 quad corners + 4 rect
+    # corners + 16 edge crossings), each with a validity mask.
+    rect = corner_signs * jnp.stack([h_u, h_v])  # (4, 2)
+
+    # (a) incident corners inside the rect.
+    in_rect = (jnp.abs(quad[:, 0]) <= h_u + 1e-9) & (
+        jnp.abs(quad[:, 1]) <= h_v + 1e-9
+    )
+    # (b) rect corners inside the incident quad (sign-consistent 2D cross
+    # products against all 4 quad edges).
+    qa = quad
+    qb = jnp.roll(quad, -1, axis=0)
+    edge = qb - qa  # (4, 2)
+    rel_r = rect[:, None, :] - qa[None, :, :]  # (4 rect, 4 edge, 2)
+    cross2 = edge[None, :, 0] * rel_r[:, :, 1] - edge[None, :, 1] * rel_r[:, :, 0]
+    in_quad = (jnp.all(cross2 <= 1e-9, axis=1)) | (
+        jnp.all(cross2 >= -1e-9, axis=1)
+    )
+    # (c) quad-edge x rect-edge intersections.
+    ra = rect
+    rb = jnp.roll(rect, -1, axis=0)
+    # Solve qa + t (qb - qa) = ra + s (rb - ra) for each pair.
+    d1 = qb - qa  # (4, 2)
+    d2 = rb - ra  # (4, 2)
+    qa_e = qa[:, None, :]
+    ra_e = ra[None, :, :]
+    denom = d1[:, None, 0] * d2[None, :, 1] - d1[:, None, 1] * d2[None, :, 0]
+    degen = jnp.abs(denom) < 1e-12
+    denom_s = jnp.where(degen, 1.0, denom)
+    diff = ra_e - qa_e  # (4, 4, 2)
+    t = (diff[:, :, 0] * d2[None, :, 1] - diff[:, :, 1] * d2[None, :, 0]) / denom_s
+    s = (diff[:, :, 0] * d1[:, None, 1] - diff[:, :, 1] * d1[:, None, 0]) / denom_s
+    inter_ok = (
+        (~degen)
+        & (t >= -1e-9)
+        & (t <= 1.0 + 1e-9)
+        & (s >= -1e-9)
+        & (s <= 1.0 + 1e-9)
+    )
+    inter_pts = qa_e + t[:, :, None] * d1[:, None, :]  # (4, 4, 2)
+
+    cand = jnp.concatenate(
+        [quad, rect, inter_pts.reshape(16, 2)], axis=0
+    )  # (24, 2)
+    cand_ok = jnp.concatenate(
+        [in_rect, in_quad, inter_ok.reshape(16)], axis=0
+    )
+
+    # Depth at a lateral position (xi, eta): distance the incident face
+    # plane sits BELOW the ref face plane there (linear in xi, eta).
+    # x(xi,eta,s) = face_origin + xi u + eta v - s n_ref on the incident
+    # plane n_inc . x = n_inc . inc_center  =>
+    # s(xi,eta) = (n_inc.(face_origin - inc_center) + xi n_inc.u + eta
+    #              n_inc.v) / (n_inc . n_ref)   [denominator <= -1/sqrt(3)]
+    denom_p = jnp.dot(n_inc, n_ref)
+    denom_p = jnp.where(jnp.abs(denom_p) < 1e-6, -1e-6, denom_p)
+    c0 = jnp.dot(n_inc, face_origin - inc_center) / denom_p
+    c1 = jnp.dot(n_inc, u) / denom_p
+    c2 = jnp.dot(n_inc, v) / denom_p
+    # s > 0 <=> the incident surface sits s past the ref plane INTO the
+    # ref box at that lateral position: that IS the local penetration.
+    depth_cand = c0 + c1 * cand[:, 0] + c2 * cand[:, 1]
+    depth_cand = jnp.where(cand_ok, depth_cand, -1.0)
+
+    # Keep the 8 deepest valid candidates (static manifold size).
+    topv, topi = jax.lax.top_k(depth_cand, 8)
+    sel = cand[topi]  # (8, 2)
+    depths = topv
+    # Contact normal: B -> A convention.
+    n_contact = -n_ref if flip_normal else n_ref
+    # 3D point: on the incident surface, pulled to the midpoint of the
+    # penetration interval along the ref normal.
+    surf = (
+        face_origin[None, :]
+        + sel[:, 0:1] * u[None, :]
+        + sel[:, 1:2] * v[None, :]
+        - depths[:, None] * n_ref[None, :]
+    )
+    points = surf + 0.5 * depths[:, None] * n_ref[None, :]
+    normals = jnp.broadcast_to(n_contact, (8, 3))
+    return points, normals, depths
+
+
+def _box_edge_contact(R_a, p_a, h_a, R_b, p_b, h_b, edge_idx, axis_w, sep):
+    """Edge-edge contact for the SAT edge-cross axis i x j
+    (edge_idx = 3*i + j, traced): closest points between the two support
+    edges. One valid slot; the rest are depth = -1."""
+    dtype = R_a.dtype
+    i = edge_idx // 3
+    j = edge_idx % 3
+    ei = jax.nn.one_hot(i, 3, dtype=dtype)
+    ej = jax.nn.one_hot(j, 3, dtype=dtype)
+    # axis_w points from A toward B (sign applied by the caller loop).
+    u = axis_w
+    # Support corner of A along +u, excluding the edge direction i.
+    sa = jnp.sign(R_a.T @ u + 1e-30) * (1.0 - ei)
+    ca = p_a + R_a @ (sa * h_a)
+    da = R_a @ ei  # edge direction of A
+    # Support corner of B along -u, excluding direction j.
+    sb = jnp.sign(R_b.T @ (-u) + 1e-30) * (1.0 - ej)
+    cb = p_b + R_b @ (sb * h_b)
+    db = R_b @ ej
+    # Closest points between the two (infinite) edge lines.
+    r = cb - ca
+    a_ = jnp.dot(da, da)
+    b_ = jnp.dot(da, db)
+    e_ = jnp.dot(db, db)
+    c_ = jnp.dot(da, r)
+    f_ = jnp.dot(db, r)
+    den = jnp.maximum(a_ * e_ - b_ * b_, 1e-12)
+    t = (c_ * e_ - b_ * f_) / den
+    s = (b_ * c_ - a_ * f_) / den
+    la = jnp.dot(h_a, ei)
+    lb = jnp.dot(h_b, ej)
+    t = jnp.clip(t, -la, la)
+    s = jnp.clip(s, -lb, lb)
+    pa_pt = ca + t * da
+    pb_pt = cb + s * db
+    point = 0.5 * (pa_pt + pb_pt)
+    depth0 = -sep
+    n_contact = -u  # B -> A
+    points = jnp.broadcast_to(point, (8, 3))
+    normals = jnp.broadcast_to(n_contact, (8, 3))
+    depths = jnp.concatenate(
+        [depth0[None], jnp.full((7,), -1.0, dtype=dtype)]
+    )
     return points, normals, depths
 
 
