@@ -59,6 +59,8 @@ class _PairSlot:
     shape_a: SH.ShapeSpec
     shape_b: SH.ShapeSpec
     n_slots: int
+    hull_a: object = None  # convex.ConvexHull for mesh shapes
+    hull_b: object = None
 
 
 def _canonical_pair(sa: SH.ShapeSpec, sb: SH.ShapeSpec):
@@ -77,6 +79,13 @@ def _canonical_pair(sa: SH.ShapeSpec, sb: SH.ShapeSpec):
         (SH.CAPSULE, SH.CAPSULE): ("capsule_capsule", 1),
         (SH.CAPSULE, SH.BOX): ("capsule_box", 3),
         (SH.BOX, SH.BOX): ("box_box", 8),
+        # Convex mesh pairs (reference: DARTCollisionDetector.cpp:283-308
+        # routes these through libccd MPR; here collision/convex.py).
+        (SH.MESH, SH.PLANE): ("mesh_plane", 8),
+        (SH.SPHERE, SH.MESH): ("sphere_mesh", 1),
+        (SH.CAPSULE, SH.MESH): ("capsule_mesh", 3),
+        (SH.BOX, SH.MESH): ("box_mesh", 8),
+        (SH.MESH, SH.MESH): ("mesh_mesh", 8),
     }
     if (ta_n, tb_n) in table:
         kind, n = table[(ta_n, tb_n)]
@@ -137,6 +146,15 @@ class Collider:
         def is_static(si) -> bool:
             return w.skeletons[si].num_dofs == 0
 
+        hull_cache = {}
+
+        def hull_of(spec):
+            if id(spec) not in hull_cache:
+                from nimblephysics_tpu.collision.convex import ConvexHull
+
+                hull_cache[id(spec)] = ConvexHull.build(spec.mesh_vertices)
+            return hull_cache[id(spec)]
+
         for i in range(len(entries)):
             for j in range(i + 1, len(entries)):
                 ga, sa_i, ba_i, sa = entries[i]
@@ -151,8 +169,27 @@ class Collider:
                 if swap:
                     ga, gb = gb, ga
                     sa, sb = sb, sa
+                # Mesh pairs: hulls are built at plan time; slot counts
+                # depend on the (decimated) hull vertex counts.
+                hull_a = hull_b = None
+                if sa.shape_type == SH.MESH:
+                    if sa.mesh_vertices is None:
+                        continue
+                    hull_a = hull_of(sa)
+                if sb.shape_type == SH.MESH:
+                    if sb.mesh_vertices is None:
+                        continue
+                    hull_b = hull_of(sb)
+                if kind == "mesh_plane":
+                    n_slots = min(8, len(hull_a.verts))
+                elif kind == "box_mesh":
+                    n_slots = 4 + min(4, len(hull_b.verts))
+                elif kind == "mesh_mesh":
+                    n_slots = min(4, len(hull_a.verts)) + min(
+                        4, len(hull_b.verts)
+                    )
                 self.slots.append(
-                    _PairSlot(kind, ga, gb, sa, sb, n_slots)
+                    _PairSlot(kind, ga, gb, sa, sb, n_slots, hull_a, hull_b)
                 )
 
     @property
@@ -266,6 +303,31 @@ class Collider:
             half_a = jnp.asarray(sa.size, dtype=dtype) / 2.0
             half_b = jnp.asarray(sb.size, dtype=dtype) / 2.0
             return nphase.box_box_sat(Ta, half_a, Tb, half_b)
+        if k == "mesh_plane":
+            from nimblephysics_tpu.collision import convex
+
+            n_w, d_w = _plane_world(sb, Tb, dtype)
+            return convex.mesh_plane(Ta, slot.hull_a, n_w, d_w)
+        if k == "sphere_mesh":
+            from nimblephysics_tpu.collision import convex
+
+            return convex.sphere_mesh(
+                Ta[:3, 3], _sphere_radius(sa), Tb, slot.hull_b
+            )
+        if k == "capsule_mesh":
+            from nimblephysics_tpu.collision import convex
+
+            r, h = float(sa.size[0]), float(sa.size[1])
+            return convex.capsule_mesh(Ta, r, h, Tb, slot.hull_b)
+        if k == "box_mesh":
+            from nimblephysics_tpu.collision import convex
+
+            half = jnp.asarray(sa.size, dtype=dtype) / 2.0
+            return convex.box_mesh(Ta, half, Tb, slot.hull_b)
+        if k == "mesh_mesh":
+            from nimblephysics_tpu.collision import convex
+
+            return convex.mesh_mesh(Ta, slot.hull_a, Tb, slot.hull_b)
         raise NotImplementedError(k)
 
 

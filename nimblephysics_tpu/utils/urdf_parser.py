@@ -75,11 +75,14 @@ def _parse_geometry(geom: ET.Element):
         return "capsule", np.array(
             [float(cap.get("radius")), float(cap.get("length"))]
         )
-    # mesh: collidable geometry lands with the convex-mesh tier; emit a
-    # non-collidable placeholder so visuals keep their slot.
     mesh = geom.find("mesh")
     if mesh is not None:
-        return "mesh", np.zeros(1)
+        scale = mesh.get("scale")
+        return (
+            "mesh",
+            _floats(scale) if scale else np.ones(3),
+            mesh.get("filename", ""),
+        )
     return None
 
 
@@ -93,6 +96,41 @@ _JOINT_MAP = {
 }
 
 
+def _load_mesh_asset(fname: str, base_dir: str, scale):
+    """Resolve a URDF mesh filename and load its geometry.
+
+    package:// URIs resolve by searching for the tail path under base_dir
+    and its parents (DartLoader's PackageResourceRetriever behavior, in
+    miniature). Missing assets return (None, None) — the caller keeps the
+    link shape-less rather than failing the whole model load.
+    """
+    from nimblephysics_tpu.utils.mesh_loader import load_mesh
+
+    candidates = []
+    if fname.startswith("package://"):
+        tail = fname[len("package://") :]
+        parts = tail.split("/", 1)
+        rest = parts[1] if len(parts) > 1 else parts[0]
+        d = base_dir
+        for _ in range(5):
+            candidates.append(os.path.join(d, tail))
+            candidates.append(os.path.join(d, rest))
+            d = os.path.dirname(d)
+    elif fname.startswith("file://"):
+        candidates.append(fname[len("file://") :])
+    else:
+        candidates.append(
+            fname if os.path.isabs(fname) else os.path.join(base_dir, fname)
+        )
+    for c in candidates:
+        if os.path.exists(c):
+            try:
+                return load_mesh(c, scale=scale)
+            except Exception:
+                return None, None
+    return None, None
+
+
 def parse_urdf(
     path_or_string: str, root_joint: str = "free", name: Optional[str] = None
 ) -> Skeleton:
@@ -104,8 +142,10 @@ def parse_urdf(
     if os.path.exists(path_or_string):
         tree = ET.parse(path_or_string)
         root = tree.getroot()
+        base_dir = os.path.dirname(os.path.abspath(path_or_string))
     else:
         root = ET.fromstring(path_or_string)
+        base_dir = os.getcwd()
     assert root.tag == "robot", "not a URDF <robot> document"
 
     links: Dict[str, dict] = {}
@@ -139,9 +179,19 @@ def parse_urdf(
                 parsed = _parse_geometry(g)
                 if parsed is None:
                     continue
-                stype, size = parsed
-                if stype == "mesh":
-                    continue  # mesh collision: later tier
+                mesh_verts = mesh_faces = None
+                if parsed[0] == "mesh":
+                    stype, scale, fname = parsed
+                    size = np.zeros(1)
+                    # Resolve the asset relative to the URDF file
+                    # (package:// prefixes fall back to the same dir).
+                    mesh_verts, mesh_faces = _load_mesh_asset(
+                        fname, base_dir, scale
+                    )
+                    if mesh_verts is None:
+                        continue  # asset missing: keep the link shape-less
+                else:
+                    stype, size = parsed
                 color = None
                 mat = sx.find("material")
                 if mat is not None and mat.find("color") is not None:
@@ -154,6 +204,8 @@ def parse_urdf(
                         collidable=collidable,
                         visual=not collidable,
                         color=color,
+                        mesh_vertices=mesh_verts,
+                        mesh_faces=mesh_faces,
                     )
                 )
         links[lname] = dict(mass=mass, com=com, inertia=inertia, shapes=shapes)
