@@ -248,19 +248,42 @@ def _joint_q(skel: Skeleton, q: jnp.ndarray, i: int) -> jnp.ndarray:
     return q[j.q_index : j.q_index + j.num_dofs]
 
 
-def relative_transform(spec: JointSpec, q_j: jnp.ndarray) -> jnp.ndarray:
-    """T of child body w.r.t. parent body: T_pj Q(q) T_cj^-1."""
+def relative_transform(
+    spec: JointSpec,
+    q_j: jnp.ndarray,
+    s_parent=None,
+    s_child=None,
+) -> jnp.ndarray:
+    """T of child body w.r.t. parent body: T_pj Q(q) T_cj^-1.
+
+    Body scales (reference: Joint::setParentScale/setChildScale,
+    dart/dynamics/Joint.cpp:1523-1545) multiply the joint-offset
+    TRANSLATIONS: T_pj's by the parent body's scale, T_cj's by the
+    child's. Differentiable in the scales (GROUP_SCALES variable).
+    """
     dtype = q_j.dtype if q_j.size else jnp.result_type(float)
     T_pj = jnp.asarray(spec.T_pj, dtype=dtype)
-    T_cj_inv = jnp.asarray(np.linalg.inv(spec.T_cj), dtype=dtype)
+    if s_parent is not None:
+        T_pj = T_pj.at[:3, 3].set(T_pj[:3, 3] * s_parent)
+    if s_child is None:
+        T_cj_inv = jnp.asarray(np.linalg.inv(spec.T_cj), dtype=dtype)
+    else:
+        T_cj = jnp.asarray(spec.T_cj, dtype=dtype)
+        T_cj_inv = lie.transform_inv(
+            T_cj.at[:3, 3].set(T_cj[:3, 3] * s_child)
+        )
     return T_pj @ J.joint_transform(spec, q_j) @ T_cj_inv
 
 
-def relative_jacobian(spec: JointSpec, q_j: jnp.ndarray) -> jnp.ndarray:
+def relative_jacobian(
+    spec: JointSpec, q_j: jnp.ndarray, s_child=None
+) -> jnp.ndarray:
     """Relative Jacobian in the child body frame: Ad(T_cj) S(q). (6, ndof)."""
     dtype = q_j.dtype if q_j.size else jnp.result_type(float)
-    Ad_cj = lie.Ad(jnp.asarray(spec.T_cj, dtype=dtype))
-    return Ad_cj @ J.joint_body_jacobian(spec, q_j)
+    T_cj = jnp.asarray(spec.T_cj, dtype=dtype)
+    if s_child is not None:
+        T_cj = T_cj.at[:3, 3].set(T_cj[:3, 3] * s_child)
+    return lie.Ad(T_cj) @ J.joint_body_jacobian(spec, q_j)
 
 
 def forward_kinematics(skel: Skeleton, q: jnp.ndarray) -> jnp.ndarray:
@@ -277,10 +300,21 @@ class Kinematics(Dict):
     """Plain dict subclass for readable access to kinematics products."""
 
 
+def _scale_of(scales, i, dtype):
+    if scales is None or i < 0:
+        return None
+    return scales[i]
+
+
 def full_kinematics(
-    skel: Skeleton, q: jnp.ndarray, dq: Optional[jnp.ndarray] = None
+    skel: Skeleton,
+    q: jnp.ndarray,
+    dq: Optional[jnp.ndarray] = None,
+    scales: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """FK + body twists + world-frame system Jacobians in one pass.
+
+    `scales` (nb, 3) applies per-body joint-offset scaling (GROUP_SCALES).
 
     Returns dict with:
       T_wb   (nb, 4, 4)  world transform of each body
@@ -295,8 +329,14 @@ def full_kinematics(
     Jw: List[jnp.ndarray] = []
     for i, spec in enumerate(skel.joints):
         q_j = _joint_q(skel, q, i)
-        T_rel = relative_transform(spec, q_j)
-        J_rel = relative_jacobian(spec, q_j)  # (6, nd) child-body frame
+        T_rel = relative_transform(
+            spec, q_j,
+            s_parent=_scale_of(scales, spec.parent, dtype),
+            s_child=_scale_of(scales, i, dtype),
+        )
+        J_rel = relative_jacobian(
+            spec, q_j, s_child=_scale_of(scales, i, dtype)
+        )  # (6, nd) child-body frame
         if spec.parent < 0:
             T = T_rel
             Jw_i = jnp.zeros((6, nv), dtype=dtype)
@@ -395,12 +435,17 @@ def _spatial_inertias(
             )
             for b in skel.bodies
         ]
-    masses = body_params["masses"]
+    masses = body_params.get("masses")
     coms = body_params.get("coms")
     inertias = body_params.get("inertias")
+    scales = body_params.get("scales")
     out = []
     for i, b in enumerate(skel.bodies):
-        m = masses[i]
+        m = (
+            masses[i]
+            if masses is not None
+            else jnp.asarray(b.mass, dtype=dtype)
+        )
         c = coms[i] if coms is not None else jnp.asarray(b.com, dtype=dtype)
         # Default: scale the spec rotational inertia with mass (the
         # reference's mass-only differentiation keeps inertia/mass fixed
@@ -411,6 +456,14 @@ def _spatial_inertias(
             I = jnp.asarray(b.inertia, dtype=dtype) * (
                 m / jnp.asarray(b.mass, dtype=dtype)
             )
+        if scales is not None:
+            # Body dimension scaling (reference: Inertia::rescale,
+            # dart/dynamics/Inertia.cpp:600-608): COM offsets scale
+            # linearly, the moment (an integral of m r r) scales by the
+            # outer product s s^T.
+            s = scales[i]
+            c = c * s
+            I = I * (s[:, None] * s[None, :])
         out.append(spatial_inertia_matrix(m, c, I))
     return out
 
@@ -441,6 +494,7 @@ def inverse_dynamics(
     else:
         gravity = jnp.asarray(gravity, dtype=dtype)
     G = _spatial_inertias(skel, dtype, body_params)
+    scales = body_params.get("scales") if body_params else None
 
     # Forward sweep.
     T_rels: List[jnp.ndarray] = []
@@ -452,10 +506,15 @@ def inverse_dynamics(
         q_j = _joint_q(skel, q, i)
         dq_j = dq[spec.q_index : spec.q_index + spec.num_dofs]
         ddq_j = ddq[spec.q_index : spec.q_index + spec.num_dofs]
-        T_rel = relative_transform(spec, q_j)
-        J_rel = relative_jacobian(spec, q_j)
+        s_par = _scale_of(scales, spec.parent, dtype)
+        s_chi = _scale_of(scales, i, dtype)
+        T_rel = relative_transform(spec, q_j, s_parent=s_par, s_child=s_chi)
+        J_rel = relative_jacobian(spec, q_j, s_child=s_chi)
         if spec.num_dofs > 0:
-            J_rel_dot = lie.Ad(jnp.asarray(spec.T_cj, dtype=dtype)) @ (
+            T_cj = jnp.asarray(spec.T_cj, dtype=dtype)
+            if s_chi is not None:
+                T_cj = T_cj.at[:3, 3].set(T_cj[:3, 3] * s_chi)
+            J_rel_dot = lie.Ad(T_cj) @ (
                 J.joint_body_jacobian_dot(spec, q_j, dq_j)
             )
         else:
@@ -576,8 +635,14 @@ def mass_and_bias_fused(
     else:
         gravity = jnp.asarray(gravity, dtype=dtype)
 
+    scales = body_params.get("scales") if body_params else None
+
     def M_of(qq, kin_in=None):
-        k = kin_in if kin_in is not None else full_kinematics(skel, qq)
+        k = (
+            kin_in
+            if kin_in is not None
+            else full_kinematics(skel, qq, scales=scales)
+        )
         Jw = k["J_world"]  # (nb, 6, nv)
         G = _spatial_inertias(skel, dtype, body_params)
         Ad_inv = jax.vmap(lambda T: lie.Ad(lie.transform_inv(T)))(k["T_wb"])
@@ -595,18 +660,17 @@ def mass_and_bias_fused(
 
     # Generalized gravity force about the world origin.
     Jw = kin_out["J_world"]
-    if body_params is not None:
-        masses = body_params["masses"]
-        coms = body_params.get("coms")
-        if coms is None:
-            coms = jnp.stack(
-                [jnp.asarray(b.com, dtype=dtype) for b in skel.bodies]
-            )
-    else:
+    bp = body_params or {}
+    masses = bp.get("masses")
+    if masses is None:
         masses = jnp.asarray([b.mass for b in skel.bodies], dtype=dtype)
+    coms = bp.get("coms")
+    if coms is None:
         coms = jnp.stack(
             [jnp.asarray(b.com, dtype=dtype) for b in skel.bodies]
         )
+    if scales is not None:
+        coms = coms * scales
     c_w = jax.vmap(lie.transform_point)(kin_out["T_wb"], coms)
     f = masses[:, None] * gravity[None, :]  # (nb, 3)
     wrench = jnp.concatenate([jnp.cross(c_w, f), f], axis=-1)  # (nb, 6)

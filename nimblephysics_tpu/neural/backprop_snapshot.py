@@ -48,17 +48,20 @@ class BackpropSnapshot:
         v: jnp.ndarray,
         control: jnp.ndarray,
         masses: Optional[jnp.ndarray] = None,
+        scales: Optional[jnp.ndarray] = None,
         clip_loss_gradients_to_bounds: bool = False,
     ):
         self.world = world
         self.engine = get_engine(world)
         self.q, self.v, self.control = q, v, control
         self.masses = masses
+        self.scales = scales
         self.clip = clip_loss_gradients_to_bounds
         self._cache: Dict[str, jnp.ndarray] = {}
 
-        bp = None if masses is None else {"masses": masses}
-        res = self.engine.step(q, v, control, body_params=bp)
+        res = self.engine.step(
+            q, v, control, body_params=self._bp(masses, scales)
+        )
         self.result = res
         self.q_next, self.v_next = res.q, res.v
         # Reference parity: pre-constraint velocity snapshot
@@ -67,19 +70,34 @@ class BackpropSnapshot:
 
     # -- internal pure functions -------------------------------------------
 
-    def _step_qv(self, q, v, control, masses):
-        bp = None if masses is None else {"masses": masses}
-        r = self.engine.step(q, v, control, body_params=bp)
+    @staticmethod
+    def _bp(masses, scales):
+        bp = {}
+        if masses is not None:
+            bp["masses"] = masses
+        if scales is not None:
+            bp["scales"] = scales
+        return bp or None
+
+    def _step_qv(self, q, v, control, masses, scales=None):
+        r = self.engine.step(
+            q, v, control, body_params=self._bp(masses, scales)
+        )
         return r.q, r.v
 
     def _jac(self, key: str, argnum: int, out_index: int) -> jnp.ndarray:
         if key not in self._cache:
-            f = lambda q, v, u, m: self._step_qv(q, v, u, m)[out_index]
-            args = (self.q, self.v, self.control, self.masses)
+            f = lambda q, v, u, m, s: self._step_qv(q, v, u, m, s)[out_index]
+            args = (self.q, self.v, self.control, self.masses, self.scales)
             if argnum == 3 and self.masses is None:
                 raise ValueError(
                     "mass Jacobians require timestep masses "
                     "(pass masses= to forward_pass)"
+                )
+            if argnum == 4 and self.scales is None:
+                raise ValueError(
+                    "scale Jacobians require body scales "
+                    "(pass scales= to forward_pass)"
                 )
             self._cache[key] = jax.jacrev(f, argnums=argnum)(*args)
         return self._cache[key]
@@ -107,6 +125,15 @@ class BackpropSnapshot:
     def get_mass_vel_jacobian(self) -> jnp.ndarray:
         return self._jac("massvel", 3, 1)
 
+    # GROUP_SCALES differentiation (reference: WithRespectTo.hpp:62-75,
+    # Skeleton body-scaling groups, Skeleton.hpp:993-1031). Output shape
+    # (nv, nb, 3): sensitivity to each body's per-axis dimension scale.
+    def get_scale_vel_jacobian(self) -> jnp.ndarray:
+        return self._jac("scalevel", 4, 1)
+
+    def get_scale_pos_jacobian(self) -> jnp.ndarray:
+        return self._jac("scalepos", 4, 0)
+
     # -- RL-space Jacobians (reference: BackpropSnapshot.hpp:110-114) -------
 
     def get_state_jacobian(self) -> jnp.ndarray:
@@ -121,7 +148,8 @@ class BackpropSnapshot:
 
         def f(state):
             q2, v2 = self._step_qv(
-                state[:nv], state[nv:], self.control, self.masses
+                state[:nv], state[nv:], self.control, self.masses,
+                self.scales,
             )
             return jnp.concatenate([q2, v2])
 
@@ -152,7 +180,7 @@ class BackpropSnapshot:
 
         def f(action):
             control = self.world.action_to_forces(action)
-            q2, v2 = self._step_qv(self.q, self.v, control, self.masses)
+            q2, v2 = self._step_qv(self.q, self.v, control, self.masses, self.scales)
             return jnp.concatenate([q2, v2])
 
         key = "action"
@@ -171,13 +199,13 @@ class BackpropSnapshot:
         """One reverse pass: J^T products via vjp (no dense Jacobians)."""
         args = (self.q, self.v, self.control)
         if self.masses is not None:
-            f = lambda q, v, u, m: self._step_qv(q, v, u, m)
+            f = lambda q, v, u, m: self._step_qv(q, v, u, m, self.scales)
             _, vjp_fn = jax.vjp(f, *args, self.masses)
             gq, gv, gu, gm = vjp_fn(
                 (loss_wrt_next_position, loss_wrt_next_velocity)
             )
         else:
-            f = lambda q, v, u: self._step_qv(q, v, u, None)
+            f = lambda q, v, u: self._step_qv(q, v, u, None, self.scales)
             _, vjp_fn = jax.vjp(f, *args)
             gq, gv, gu = vjp_fn(
                 (loss_wrt_next_position, loss_wrt_next_velocity)
@@ -225,7 +253,8 @@ class BackpropSnapshot:
         @jax.jit
         def f(state):
             q2, v2 = self._step_qv(
-                state[:nv], state[nv:], self.control, self.masses
+                state[:nv], state[nv:], self.control, self.masses,
+                self.scales,
             )
             return jnp.concatenate([q2, v2])
 
@@ -262,6 +291,7 @@ def forward_pass(
     state: Optional[jnp.ndarray] = None,
     action: Optional[jnp.ndarray] = None,
     masses: Optional[jnp.ndarray] = None,
+    scales: Optional[jnp.ndarray] = None,
     clip_loss_gradients_to_bounds: bool = False,
 ) -> BackpropSnapshot:
     """Reference parity: neural::forwardPass(world) (NeuralUtils.cpp:26) —
@@ -279,6 +309,7 @@ def forward_pass(
         state[nv:],
         control,
         masses=masses,
+        scales=scales,
         clip_loss_gradients_to_bounds=clip_loss_gradients_to_bounds,
     )
 
