@@ -344,7 +344,10 @@ class BatchedEngine:
             F = jnp.swapaxes(Ft, 0, 1)  # (nrows, nv, B)
             if z_warm is None:
                 z_warm = jnp.zeros((nrows, B), dtype=dtype)
-            z = boxed_lcp_b(self.meta, F, b, mu, z_warm, cfm=w.solver.cfm)
+            z = boxed_lcp_b(
+                self.meta, F, b, mu, z_warm, cfm=w.solver.cfm,
+                fallback_cfm=w.solver.fallback_cfm,
+            )
             u = jnp.sum(F * z[:, None, :], axis=0)  # (nv, B)
             v_next = v_pre + bl.solve_tri_upper_t_vec(L, u)
         else:

@@ -228,16 +228,33 @@ def _pinned_solve(
         Preg = P + eps[None, None, :] * jnp.eye(r, dtype=dtype)[..., None]
         return bl.spd_solve(Preg, rhs)
 
-    def solve_once(rhs_S):
-        P1 = jnp.sum(U[:, :, None, :] * U[:, None, :, :], axis=0)
-        P2 = jnp.sum(H[:, :, None, :] * H[:, None, :, :], axis=0)
-        if cfm:
-            P1 = P1 + cfm * jnp.eye(r, dtype=dtype)[..., None]
-            P2 = P2 + cfm * jnp.eye(r, dtype=dtype)[..., None]
-        Ut_rhs = jnp.sum(U * rhs_S[:, None, :], axis=0)  # (r, B)
-        beta = spd(P1, Ut_rhs)
-        alpha = spd(P2, beta)
-        return jnp.sum(H * alpha[None, :, :], axis=1)  # x = V alpha, (n, B)
+    if cfm:
+        # Exact cfm path (fallback ladder rung): solve
+        # (U V^T + cfm I)|_S x = rhs via Woodbury — x = (rhs - U w)/cfm
+        # with (cfm I_r + V^T U) w = V^T rhs. The small nonsymmetric r x r
+        # system is solved through ridge normal equations.
+        K = cfm * jnp.eye(r, dtype=dtype)[..., None] + jnp.sum(
+            H[:, :, None, :] * U[:, None, :, :], axis=0
+        )  # (r, r, B) = cfm I + V^T U
+
+        def solve_once(rhs_S):
+            Vt_rhs = jnp.sum(H * rhs_S[:, None, :], axis=0)  # (r, B)
+            KtK = jnp.sum(K[:, :, None, :] * K[:, None, :, :], axis=0)
+            Kt_rhs = jnp.sum(K * Vt_rhs[:, None, :], axis=0)
+            w = spd(KtK, Kt_rhs)
+            x = (rhs_S - jnp.sum(U * w[None, :, :], axis=1)) / cfm
+            return x * S  # supported on the clamping rows
+
+    else:
+
+        def solve_once(rhs_S):
+            P1 = jnp.sum(U[:, :, None, :] * U[:, None, :, :], axis=0)
+            P2 = jnp.sum(H[:, :, None, :] * H[:, None, :, :], axis=0)
+            Ut_rhs = jnp.sum(U * rhs_S[:, None, :], axis=0)  # (r, B)
+            beta = spd(P1, Ut_rhs)
+            alpha = spd(P2, beta)
+            # x = V alpha, (n, B)
+            return jnp.sum(H * alpha[None, :, :], axis=1)
 
     x = solve_once(bS)
     if polish:
@@ -319,8 +336,10 @@ def _lcp_valid(meta: LcpMeta, F, cfm, b, mu, z):
     return jnp.all(ok_n & ok_f, axis=0) & finite
 
 
-def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0):
-    """Batch-minor boxed LCP solve; see constraint/lcp.boxed_lcp.
+def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
+    """Batch-minor boxed LCP solve; see constraint/lcp.boxed_lcp
+    (including the CFM-softened / ignore-friction failure ladder,
+    BoxedLcpConstraintSolver.cpp:392-646 parity).
 
     Args: F (n, r, B), b/mu/z_warm (n, B). Returns z (n, B).
     """
@@ -338,4 +357,28 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0):
         meta, F, cfm, b, mu, clamping, upper, sign_u, at_hi=at_hi
     )
     valid = sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_pol)))
-    return jnp.where(valid[None, :], z_pol, z_seed)
+
+    if fallback_cfm:
+        soft = cfm + fallback_cfm
+        z_soft = _pinned_solve(
+            meta, F, soft, b, mu, clamping, upper, sign_u, at_hi=at_hi
+        )
+        valid_soft = sg(_lcp_valid(meta, Fs, soft, bs, mus, sg(z_soft)))
+        isf = jnp.asarray(meta.is_friction)[:, None]
+        clamp_nf = clamping & ~isf
+        upper_nf = jnp.zeros_like(upper)
+        z_nf = _pinned_solve(
+            meta, F, soft, b, mu, clamp_nf, upper_nf, sign_u, at_hi=at_hi
+        )
+        z_nf = jnp.where(isf, jnp.zeros_like(z_nf), z_nf)
+        valid_nf = sg(
+            _lcp_valid(meta, Fs, soft, bs, jnp.zeros_like(mus), sg(z_nf))
+        )
+        z_fb = jnp.where(
+            valid_soft[None, :],
+            z_soft,
+            jnp.where(valid_nf[None, :], z_nf, z_seed),
+        )
+    else:
+        z_fb = z_seed
+    return jnp.where(valid[None, :], z_pol, z_fb)

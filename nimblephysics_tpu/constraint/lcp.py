@@ -407,17 +407,26 @@ def _refine_masks(meta: LcpMeta, F, cfm, b, mu, clamping, upper, sign_u,
     return clamping2, upper2, new_sign, at_hi2
 
 
-def boxed_lcp(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0):
+def boxed_lcp(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
     """Solve the boxed LCP with A = F F^T + cfm I (factored Delassus).
 
     jax.grad through this IS the active-set implicit derivative (module
     docstring). Leading batch dims allowed on all array args.
 
+    Failure ladder (reference parity: BoxedLcpConstraintSolver.cpp:392-646
+    Dantzig -> PGS -> CFM-softened retries -> ignore-friction): if the
+    pinned active-set solution fails the validity check, re-solve the same
+    active set with a CFM-softened operator (A + fallback_cfm I); if that
+    also fails, drop the friction rows entirely (normals-only solve); the
+    gradient-carrying iterative seed remains the last resort.
+
     Args:
       F (n, r): J L^-T with M = L L^T (so A = J M^-1 J^T + cfm I);
       b (n,): -J v_pre + bounce terms; mu (n,): per-row friction
       coefficients; z_warm (n,): warm start (reference: cached LCP
-      solution, World.hpp:690-698); cfm: constraint-force mixing constant.
+      solution, World.hpp:690-698); cfm: constraint-force mixing constant;
+      fallback_cfm: softening constant for the retry rung (reference:
+      World fallback CFM knob, World.hpp:650-663).
     Returns z (n,) impulses.
     """
     sg = jax.lax.stop_gradient
@@ -440,6 +449,39 @@ def boxed_lcp(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0):
     z_pol = _pinned_solve(
         meta, F, cfm, b, mu, clamping, upper, sign_u, at_hi=at_hi
     )
-
     valid = sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_pol)))
-    return jnp.where(valid[..., None], z_pol, z_seed)
+
+    if fallback_cfm:
+        # Rung 2: CFM-softened re-solve of the same active set. Validity
+        # is judged against the SOFTENED operator (the softened problem is
+        # the one being solved, as in the reference's cfm retries).
+        soft = cfm + fallback_cfm
+        z_soft = _pinned_solve(
+            meta, F, soft, b, mu, clamping, upper, sign_u, at_hi=at_hi
+        )
+        valid_soft = sg(
+            _lcp_valid(meta, Fs, soft, bs, mus, sg(z_soft))
+        )
+        # Rung 3: ignore friction (normals only; reference's last resort).
+        isf = jnp.asarray(meta.is_friction)
+        clamp_nf = clamping & ~isf
+        upper_nf = jnp.zeros_like(upper)
+        z_nf = _pinned_solve(
+            meta, F, soft, b, mu, clamp_nf, upper_nf, sign_u, at_hi=at_hi
+        )
+        z_nf = jnp.where(isf, jnp.zeros_like(z_nf), z_nf)
+        valid_nf = sg(
+            _lcp_valid(
+                meta, Fs, soft, bs,
+                jnp.zeros_like(mus),  # friction-free validity
+                sg(z_nf),
+            )
+        )
+        z_fb = jnp.where(
+            valid_soft[..., None],
+            z_soft,
+            jnp.where(valid_nf[..., None], z_nf, z_seed),
+        )
+    else:
+        z_fb = z_seed
+    return jnp.where(valid[..., None], z_pol, z_fb)

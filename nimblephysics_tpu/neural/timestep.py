@@ -228,7 +228,8 @@ class Engine:
             if z_warm is None:
                 z_warm = jnp.zeros(nrows, dtype=dtype)
             z = boxed_lcp(
-                self.assembler.meta, F, b, mu, z_warm, cfm=w.solver.cfm
+                self.assembler.meta, F, b, mu, z_warm, cfm=w.solver.cfm,
+                fallback_cfm=w.solver.fallback_cfm,
             )
             # 3. Velocity update from constraint impulses:
             # M^-1 J^T z = L^-T (F^T z) per skeleton block.
@@ -311,15 +312,17 @@ class Engine:
         return jnp.concatenate([res.q, res.v])
 
 
-# Engine cache: one static plan per World object.
-_ENGINES: Dict[int, Engine] = {}
-
-
 def get_engine(world: World) -> Engine:
-    eng = _ENGINES.get(id(world))
+    """One static step plan per World, cached ON the world instance.
+
+    (A module-level dict keyed by id() would leak every World forever and
+    could alias a recycled address; world <-> engine is a plain reference
+    cycle the garbage collector handles.)
+    """
+    eng = getattr(world, "_engine_cache", None)
     if eng is None:
         eng = Engine(world)
-        _ENGINES[id(world)] = eng
+        world._engine_cache = eng
     return eng
 
 
