@@ -32,3 +32,18 @@ from nimblephysics_tpu.biomechanics.dynamics_fitter import (
     DynamicsFitter,
 )
 from nimblephysics_tpu.biomechanics.exo import ExoSolverPinnedContact
+from nimblephysics_tpu.biomechanics.b3d_reader import (
+    SubjectOnDiskReader,
+    read_b3d,
+)
+from nimblephysics_tpu.biomechanics.force_plate import (
+    ForcePlate,
+    assign_plates_to_bodies,
+    grf_generalized_forces,
+)
+from nimblephysics_tpu.biomechanics.dynamics_fitter import (
+    DynamicsFitterWithPlates,
+    PlateFitResult,
+)
+from nimblephysics_tpu.biomechanics.marker_fixer import clean_marker_traces
+from nimblephysics_tpu.biomechanics.scale_groups import ScaleGroups

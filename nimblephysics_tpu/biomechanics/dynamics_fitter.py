@@ -135,3 +135,177 @@ class DynamicsFitter:
             else 0.0,
             loss_history=hist,
         )
+
+
+@dataclasses.dataclass
+class PlateFitResult:
+    masses: np.ndarray  # (nb,)
+    coms: np.ndarray  # (nb, 3)
+    inertia_scales: np.ndarray  # (nb, 3) diagonal dimension scales
+    poses: np.ndarray  # (T, nq) (refined when refine_trajectory)
+    avg_residual_force: float
+    avg_residual_torque: float
+    loss_history: list
+
+
+class DynamicsFitterWithPlates(DynamicsFitter):
+    """The full GRF pipeline (reference: DynamicsFitter.hpp:1250):
+
+      raw force plates (CoP + force + free moment)
+        -> per-frame plate-to-foot assignment (CoP proximity)
+        -> generalized external forces through contact-body Jacobians
+        -> residual-free fit of masses / COMs / diagonal inertia scales
+           (+ optional trajectory refinement so accelerations stay
+            consistent with the refined poses).
+
+    All per-frame quantities vmap over time; the whole objective is one
+    jit-compiled Adam loop.
+    """
+
+    def fit_with_plates(
+        self,
+        poses: np.ndarray,  # (T, nq)
+        dt: float,
+        plates,  # Sequence[ForcePlate]
+        contact_body_names,
+        iterations: int = 200,
+        learning_rate: float = 0.02,
+        fit_inertia: bool = True,
+        refine_trajectory: bool = False,
+        regularize_inertia: float = 10.0,
+        regularize_poses: float = 1e3,
+        force_threshold: float = 3.0,
+    ) -> PlateFitResult:
+        from nimblephysics_tpu.biomechanics.force_plate import (
+            assign_plates_to_bodies,
+            grf_generalized_forces,
+        )
+
+        skel = self.skel
+        g = jnp.asarray(self.gravity)
+        rd = self.root_dofs
+        bp0 = default_body_params(skel)
+        T, nq = poses.shape
+        contact_bodies = np.asarray(
+            [skel.body_index(n) for n in contact_body_names]
+        )
+        C = len(contact_bodies)
+        P = len(plates)
+
+        # Static per-frame wrenches + hard assignments (preprocessing).
+        wrench_t = np.stack(
+            [p.world_wrenches() for p in plates], axis=1
+        )  # (T, P, 6)
+        assign = assign_plates_to_bodies(
+            skel, poses, plates, contact_body_names,
+            force_threshold=force_threshold,
+        )  # (T, P) in [-1, C)
+        onehot_t = np.zeros((T, P, C))
+        for t in range(T):
+            for p in range(P):
+                if assign[t, p] >= 0:
+                    onehot_t[t, p, assign[t, p]] = 1.0
+
+        q_t = jnp.asarray(poses)
+        w_t = jnp.asarray(wrench_t)
+        oh_t = jnp.asarray(onehot_t)
+        cb = contact_bodies
+
+        def fd_vel_acc(qs):
+            # Central differences (reference: the fitters' finite
+            # differencing of IK poses for ID).
+            v = (qs[2:] - qs[:-2]) / (2 * dt)
+            a = (qs[2:] - 2 * qs[1:-1] + qs[:-2]) / (dt * dt)
+            return qs[1:-1], v, a
+
+        def residual_frames(log_m, d_com, log_is, dq):
+            bp = {"masses": jnp.exp(log_m), "coms": bp0["coms"] + d_com}
+            if fit_inertia:
+                bp["inertias"] = bp0["inertias"] * jnp.exp(log_is)[
+                    :, :, None
+                ] * jnp.exp(log_is)[:, None, :]
+            qs = q_t + dq
+            qm, vm, am = fd_vel_acc(qs)
+            wm, ohm = w_t[1:-1], oh_t[1:-1]
+
+            def one(q, v, a, w, oh):
+                tau = inverse_dynamics(
+                    skel, q, v, a, gravity=g, body_params=bp
+                )
+                tau_ext = grf_generalized_forces(skel, q, w, oh, cb)
+                return tau[:rd] - tau_ext[:rd]
+
+            return jax.vmap(one)(qm, vm, am, wm, ohm)
+
+        def loss(log_m, d_com, log_is, dq):
+            res = residual_frames(log_m, d_com, log_is, dq)
+            data = jnp.mean(res**2)
+            reg = (
+                self.reg_m * jnp.mean((log_m - jnp.log(bp0["masses"])) ** 2)
+                + self.reg_c * jnp.mean(d_com**2)
+                + regularize_inertia * jnp.mean(log_is**2)
+            )
+            if refine_trajectory:
+                reg = reg + regularize_poses * jnp.mean(dq**2)
+            return data + reg
+
+        import optax
+
+        opt = optax.adam(learning_rate)
+        params = {
+            "log_m": jnp.log(bp0["masses"]),
+            "d_com": jnp.zeros_like(bp0["coms"]),
+            "log_is": jnp.zeros((skel.num_bodies, 3)),
+            "dq": jnp.zeros((T, nq)),
+        }
+        trainable = ["log_m", "d_com"]
+        if fit_inertia:
+            trainable.append("log_is")
+        if refine_trajectory:
+            trainable.append("dq")
+
+        @jax.jit
+        def step(params, opt_state):
+            def f(params):
+                return loss(
+                    params["log_m"], params["d_com"], params["log_is"],
+                    params["dq"],
+                )
+
+            l, grads = jax.value_and_grad(f)(params)
+            grads = {
+                k: (g if k in trainable else jnp.zeros_like(g))
+                for k, g in grads.items()
+            }
+            upd, opt_state = opt.update(grads, opt_state)
+            import optax as _ox
+
+            return _ox.apply_updates(params, upd), opt_state, l
+
+        opt_state = opt.init(params)
+        hist = []
+        for _ in range(iterations):
+            params, opt_state, l = step(params, opt_state)
+            hist.append(float(l))
+
+        res = np.asarray(
+            residual_frames(
+                params["log_m"], params["d_com"], params["log_is"],
+                params["dq"],
+            )
+        )
+        lin = res[:, 3:rd] if rd >= 6 else res
+        ang = res[:, : min(3, rd)]
+        return PlateFitResult(
+            masses=np.asarray(jnp.exp(params["log_m"])),
+            coms=np.asarray(bp0["coms"] + params["d_com"]),
+            inertia_scales=np.asarray(jnp.exp(params["log_is"])),
+            poses=np.asarray(q_t + params["dq"]),
+            avg_residual_force=float(np.sqrt((lin**2).mean()))
+            if lin.size
+            else 0.0,
+            avg_residual_torque=float(np.sqrt((ang**2).mean()))
+            if ang.size
+            else 0.0,
+            loss_history=hist,
+        )

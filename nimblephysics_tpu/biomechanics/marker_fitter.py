@@ -49,8 +49,19 @@ class MarkerFitter:
         regularize_scales: float = 1.0,
         regularize_offsets: float = 10.0,
         scale_bounds: Tuple[float, float] = (0.7, 1.4),
+        anthropometrics=None,
+        anthropometric_weight: float = 1e-3,
+        scale_groups=None,
     ):
+        """anthropometrics: optional biomechanics.Anthropometrics prior —
+        its log-pdf over body scales joins the outer objective (reference:
+        MarkerFitter anthropometric prior term, MarkerFitter.hpp:599
+        pipeline). scale_groups: optional biomechanics.ScaleGroups sharing
+        one scale per symmetric group (GROUP_SCALES)."""
         self.skel = skel
+        self.anthro = anthropometrics
+        self.anthro_w = anthropometric_weight
+        self.groups = scale_groups
         if markers is not None:
             for name, (b, off, fixed) in markers.items():
                 skel.add_marker(name, b, off, fixed)
@@ -84,6 +95,8 @@ class MarkerFitter:
         ik_iterations: int = 8,
         lr_scales: float = 0.02,
         lr_offsets: float = 0.005,
+        clean_traces: bool = False,
+        dt: Optional[float] = None,
     ) -> MarkerFitResult:
         """Bilevel fit (reference: MarkerFitter::runKinematicsPipeline).
 
@@ -94,6 +107,14 @@ class MarkerFitter:
         skel = self.skel
         nq = skel.num_dofs
         nb = skel.num_bodies
+        if clean_traces:
+            from nimblephysics_tpu.biomechanics.marker_fixer import (
+                clean_marker_traces,
+            )
+
+            observed, _report = clean_marker_traces(
+                observed, dt=dt if dt is not None else 0.01
+            )
         T, M, _ = observed.shape
         assert M == len(self.marker_names)
 
@@ -108,11 +129,13 @@ class MarkerFitter:
             if q_init is None
             else jnp.asarray(q_init) + jnp.zeros((T, nq))
         )
-        log_scales = jnp.zeros((nb, 3))
+        n_scale_params = self.groups.n_groups if self.groups else nb
+        log_scales = jnp.zeros((n_scale_params, 3))
         d_offsets = jnp.zeros((M, 3))
 
         def scales_of(log_s):
-            return jnp.clip(jnp.exp(log_s), lo, hi)
+            s = jnp.clip(jnp.exp(log_s), lo, hi)
+            return self.groups.expand(s) if self.groups else s
 
         def offsets_of(d_off):
             # Fixed (anatomical) markers don't move in their frame
@@ -152,6 +175,8 @@ class MarkerFitter:
             reg = self.reg_scales * jnp.mean(log_s**2) + (
                 self.reg_offsets * jnp.mean(d_off**2)
             )
+            if self.anthro is not None:
+                reg = reg - self.anthro_w * self.anthro.log_pdf(scales)
             return data + reg
 
         outer_grad = jax.jit(jax.value_and_grad(outer_loss, argnums=(0, 1)))

@@ -246,9 +246,12 @@ def _add_body(skel, bx, jx, parent_idx, coordinate_names) -> int:
             axis = _floats(ax.findtext("axis", "1 0 0"))
             cname = (ax.findtext("coordinates") or "").strip()
             drive = coord_names.index(cname) if cname in coord_names else -1
-            fn = _parse_function(ax.find("function")) if ax.find(
-                "function"
-            ) is not None else splines.constant(0.0)
+            # OpenSim 3.x wraps the transform function in <function>;
+            # 4.x puts <LinearFunction>/<SimmSpline>/... DIRECTLY under
+            # <TransformAxis>. _parse_function scans children for known
+            # function tags, so passing the axis element handles both.
+            fx_el = ax.find("function")
+            fn = _parse_function(fx_el if fx_el is not None else ax)
             if ax.get("name", "").startswith("rotation"):
                 axes_r.append(axis)
             else:
@@ -420,9 +423,12 @@ def _add_joint_v4(skel, jx, parent_idx, T_pj, T_cj, bname, info,
             axis = _floats(ax.findtext("axis", "1 0 0"))
             cname = (ax.findtext("coordinates") or "").strip()
             drive = coord_names.index(cname) if cname in coord_names else -1
-            fn = _parse_function(ax.find("function")) if ax.find(
-                "function"
-            ) is not None else splines.constant(0.0)
+            # OpenSim 3.x wraps the transform function in <function>;
+            # 4.x puts <LinearFunction>/<SimmSpline>/... DIRECTLY under
+            # <TransformAxis>. _parse_function scans children for known
+            # function tags, so passing the axis element handles both.
+            fx_el = ax.find("function")
+            fn = _parse_function(fx_el if fx_el is not None else ax)
             if ax.get("name", "").startswith("rotation"):
                 axes_r.append(axis)
             else:

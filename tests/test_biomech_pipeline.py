@@ -1,0 +1,361 @@
+"""Biomechanics pipeline hardening (VERDICT round-1 item #6):
+
+  * reference-compatible .b3d reading on the REAL AddBiomechanics file
+    (/root/reference/data/b3d/results.b3d — SubjectOnDisk.proto wire
+    format),
+  * C3D loading on the REAL reference mocap file (JA1Gait35.c3d),
+  * ForcePlate + raw-GRF -> generalized-force mapping through contact
+    Jacobians + mass recovery with plate data,
+  * closed-form IKInitializer (Kabsch segment poses + SCoRE joint
+    centers),
+  * marker trace cleaning (despike + gap fill),
+  * an end-to-end slice: real .b3d markers + embedded .osim model ->
+    IK initializer -> marker fitting.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nimblephysics_tpu.biomechanics.b3d_reader import read_b3d
+from nimblephysics_tpu.biomechanics.force_plate import (
+    ForcePlate,
+    assign_plates_to_bodies,
+    grf_generalized_forces,
+)
+from nimblephysics_tpu.biomechanics.ik_initializer import IKInitializer
+from nimblephysics_tpu.biomechanics.marker_fixer import clean_marker_traces
+from nimblephysics_tpu.dynamics import BALL, FREE, REVOLUTE, Skeleton
+from nimblephysics_tpu.dynamics.skeleton import (
+    full_kinematics,
+    inverse_dynamics,
+)
+
+B3D = "/root/reference/data/b3d/results.b3d"
+C3D_FILE = "/root/reference/data/c3d/JA1Gait35.c3d"
+
+
+# ---------------------------------------------------------------------------
+# Interop readers on real reference data
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not os.path.exists(B3D), reason="reference data absent")
+def test_read_reference_b3d():
+    r = read_b3d(B3D)
+    assert r.num_dofs == 33
+    assert r.num_trials >= 2
+    assert r.mass_kg > 30 and r.height_m > 1.0
+    assert r.ground_contact_bodies == ["calcn_r", "calcn_l"]
+    assert len(r.marker_names) > 20
+    assert len(r.pass_osim_texts) >= 1
+    assert "<OpenSimDocument" in r.pass_osim_texts[0]
+    t0 = r.trials[0]
+    assert t0.length > 50 and 0.001 < t0.timestep < 0.1
+    fr = r.read_frames(0, 0, 20)
+    assert fr.pos[0].shape == (20, 33)
+    assert np.isfinite(fr.pos[0]).all()
+    # Kinematics should be physically plausible (|q| bounded).
+    assert np.abs(fr.pos[0]).max() < 10.0
+    # Markers observed.
+    assert (~np.isnan(fr.marker_obs[..., 0])).sum() > 500
+    # Walking trial: some vertical GRF present.
+    assert np.nanmax(np.abs(fr.raw_force_plate_force)) > 50.0
+    # Second trial reads from the correct offset.
+    fr1 = r.read_frames(1, 5, 5)
+    assert fr1.pos[0].shape == (5, 33)
+    assert np.isfinite(fr1.pos[0]).all()
+
+
+@pytest.mark.skipif(
+    not os.path.exists(C3D_FILE), reason="reference data absent"
+)
+def test_load_reference_c3d():
+    from nimblephysics_tpu.biomechanics.c3d import load_c3d
+
+    c3d = load_c3d(C3D_FILE)
+    assert c3d.num_frames > 100
+    assert len(c3d.marker_names) >= 10
+    assert 50 <= c3d.frames_per_second <= 500
+    pts = c3d.marker_timesteps
+    seen = ~np.isnan(pts[..., 0])
+    assert seen.mean() > 0.5, "most markers should be observed"
+    # Meters: human-scale coordinates.
+    assert np.nanmax(np.abs(pts)) < 10.0
+
+
+# ---------------------------------------------------------------------------
+# ForcePlate + GRF pipeline
+# ---------------------------------------------------------------------------
+
+
+def _free_foot():
+    sk = Skeleton("foot")
+    sk.add_joint_and_body(
+        FREE, parent=-1, name="foot", mass=2.0,
+        inertia=np.eye(3) * 0.01,
+    )
+    return sk
+
+
+def test_force_plate_wrench_and_assignment():
+    T = 5
+    plate = ForcePlate(
+        corners=np.zeros((4, 3)),
+        centers_of_pressure=np.tile(np.array([0.3, 0.0, 0.0]), (T, 1)),
+        forces=np.tile(np.array([0.0, 0.0, 100.0]), (T, 1)),
+        moments=np.zeros((T, 3)),
+    )
+    w = plate.world_wrenches()
+    # torque about origin = cop x f = (0.3, 0, 0) x (0, 0, 100) = (0, -30, 0)
+    np.testing.assert_allclose(w[0], [0.0, -30.0, 0.0, 0.0, 0.0, 100.0])
+    sk = _free_foot()
+    poses = np.zeros((T, 6))
+    poses[:, 3] = 0.25  # foot near the plate CoP
+    assign = assign_plates_to_bodies(sk, poses, [plate], ["foot"])
+    assert (assign == 0).all()
+    # Zero-force plate stays unassigned.
+    plate0 = ForcePlate(
+        corners=np.zeros((4, 3)),
+        centers_of_pressure=plate.centers_of_pressure,
+        forces=np.zeros((T, 3)),
+        moments=np.zeros((T, 3)),
+    )
+    assert (assign_plates_to_bodies(sk, poses, [plate0], ["foot"]) == -1).all()
+
+
+def test_grf_generalized_forces_equals_direct_wrench():
+    """For a free-root body, tau_ext[0:6] must equal the world wrench
+    mapped through the root joint's Jacobian — cross-checked against
+    inverse dynamics with an equivalent body-frame external force."""
+    sk = _free_foot()
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, 6))
+    w_world = jnp.asarray(rng.randn(1, 6))
+    tau = grf_generalized_forces(
+        sk, q, w_world, jnp.ones((1, 1)), np.array([0])
+    )
+    # Independent check: J_world^T w computed directly.
+    kin = full_kinematics(sk, q)
+    expect = np.asarray(kin["J_world"][0]).T @ np.asarray(w_world[0])
+    np.testing.assert_allclose(np.asarray(tau), expect, atol=1e-12)
+
+
+def test_dynamics_fitter_with_plates_recovers_mass():
+    """Synthetic plate data consistent with a heavier body: the plate-fed
+    fitter recovers the true mass and drives the root residual to ~0."""
+    from nimblephysics_tpu.biomechanics.dynamics_fitter import (
+        DynamicsFitterWithPlates,
+    )
+
+    sk = _free_foot()  # spec mass 2.0
+    true_mass = 3.1
+    dt = 0.01
+    T = 40
+    rng = np.random.RandomState(1)
+    # Smooth random trajectory.
+    t = np.linspace(0, 1, T)
+    poses = np.stack(
+        [0.2 * np.sin(2 * np.pi * t * f + p) for f, p in
+         zip([1, 2, 1, 1, 2, 1], rng.uniform(0, 6, 6))], axis=1
+    )
+    # EXACTLY the finite-difference stencil the fitter applies internally
+    # (central first/second differences on interior frames) so the
+    # synthetic plate data is consistent to machine precision.
+    vels = np.zeros_like(poses)
+    accs = np.zeros_like(poses)
+    vels[1:-1] = (poses[2:] - poses[:-2]) / (2 * dt)
+    accs[1:-1] = (poses[2:] - 2 * poses[1:-1] + poses[:-2]) / (dt * dt)
+    g = (0.0, -9.81, 0.0)
+
+    # Ground-truth external wrench from ID with the TRUE mass: the root
+    # rows of tau must be exactly provided by the "plate".
+    bp_true = {"masses": jnp.asarray([true_mass])}
+
+    def tau_of(q, v, a):
+        return inverse_dynamics(
+            sk, jnp.asarray(q), jnp.asarray(v), jnp.asarray(a),
+            gravity=jnp.asarray(g), body_params=bp_true,
+        )
+
+    tau_root = np.stack(
+        [np.asarray(tau_of(poses[i], vels[i], accs[i])) for i in range(T)]
+    )  # (T, 6) generalized root force required
+
+    # Convert to world wrenches: tau_root = J_root^T w  =>  solve 6x6.
+    wrenches = np.zeros((T, 3))
+    cops = np.zeros((T, 3))
+    forces = np.zeros((T, 3))
+    moments = np.zeros((T, 3))
+    for i in range(T):
+        kin = full_kinematics(sk, jnp.asarray(poses[i]))
+        J = np.asarray(kin["J_world"][0])  # (6, 6)
+        w = np.linalg.solve(J.T, tau_root[i])  # world wrench about origin
+        m_o, f = w[:3], w[3:]
+        # Decompose as CoP at the body origin + free moment.
+        p = np.asarray(kin["T_wb"][0][:3, 3])
+        cops[i] = p
+        forces[i] = f
+        moments[i] = m_o - np.cross(p, f)
+    plate = ForcePlate(
+        corners=np.zeros((4, 3)), centers_of_pressure=cops,
+        forces=forces, moments=moments,
+    )
+
+    fitter = DynamicsFitterWithPlates(
+        sk, root_dofs=6, gravity=g, regularize_masses=1e-4,
+        regularize_coms=1e-2,
+    )
+    res = fitter.fit_with_plates(
+        poses, dt, [plate], ["foot"], iterations=300, learning_rate=0.05,
+        fit_inertia=False, force_threshold=0.0,
+    )
+    assert abs(res.masses[0] - true_mass) < 0.1, res.masses
+    assert res.avg_residual_force < 1.0, res.avg_residual_force
+
+
+# ---------------------------------------------------------------------------
+# Closed-form IK initializer
+# ---------------------------------------------------------------------------
+
+
+def _marker_chain():
+    """Two-link ball chain with 4 markers per body."""
+    sk = Skeleton("chain")
+    a = sk.add_joint_and_body(
+        BALL, parent=-1, name="upper",
+        T_cj=np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0.25], [0, 0, 0, 1.0]]
+        ),
+    )
+    sk.add_joint_and_body(
+        BALL, parent=a, name="lower",
+        T_pj=np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -0.25], [0, 0, 0, 1.0]]
+        ),
+        T_cj=np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0.25], [0, 0, 0, 1.0]]
+        ),
+    )
+    offs = [
+        [0.05, 0.0, 0.1], [-0.05, 0.0, 0.0], [0.0, 0.05, -0.1],
+        [0.03, -0.05, 0.05],
+    ]
+    for b in range(2):
+        for k, o in enumerate(offs):
+            sk.add_marker(f"b{b}m{k}", b, np.asarray(o))
+    return sk
+
+
+def test_ik_initializer_closed_form():
+    from nimblephysics_tpu.biomechanics.scaled_fk import (
+        marker_table,
+        marker_world_positions,
+    )
+
+    sk = _marker_chain()
+    names, bodies, offsets, _ = marker_table(sk)
+    rng = np.random.RandomState(3)
+    T = 30
+    qs = 0.6 * rng.uniform(-1, 1, (T, sk.num_dofs))
+    obs = np.stack(
+        [
+            np.asarray(
+                marker_world_positions(
+                    sk, jnp.asarray(qs[t]), bodies, jnp.asarray(offsets)
+                )
+            )
+            for t in range(T)
+        ]
+    )
+    init = IKInitializer(sk)
+    seg = init.estimate_segment_poses(obs)
+    assert 0 in seg and 1 in seg and seg[0][2].all() and seg[1][2].all()
+
+    centers = init.estimate_joint_centers(obs, seg)
+    assert 1 in centers, "joint between the two marker-rich bodies"
+    assert centers[1]["rms"] < 1e-8
+    # The true joint-1 center: world position of the joint frame = child
+    # body origin shifted by T_cj translation (0, 0, 0.25).
+    for t in range(0, T, 7):
+        kin = full_kinematics(sk, jnp.asarray(qs[t]))
+        Tw = np.asarray(kin["T_wb"][1])
+        true_center = Tw[:3, :3] @ np.array([0.0, 0.0, 0.25]) + Tw[:3, 3]
+        np.testing.assert_allclose(
+            centers[1]["world"][t], true_center, atol=1e-8
+        )
+
+    # Pose recovery: exact for noiseless ball-joint chains.
+    poses = init.initialize(obs)
+    np.testing.assert_allclose(poses, qs, atol=1e-6)
+
+
+def test_marker_trace_cleaning():
+    T = 60
+    t = np.linspace(0, 1, T)
+    clean = np.stack(
+        [np.sin(2 * np.pi * t), np.cos(2 * np.pi * t), t], axis=1
+    )[:, None, :]
+    dirty = clean.copy()
+    dirty[20, 0, :] += 5.0  # spike
+    dirty[35:40, 0, :] = np.nan  # short gap
+    fixed, report = clean_marker_traces(dirty, dt=1.0 / 60)
+    assert report["spikes_removed"] >= 1
+    assert report["gap_frames_filled"] >= 5
+    # Spike removed (then refilled by interpolation) and gap filled.
+    assert np.isfinite(fixed[35:40, 0, :]).all()
+    assert np.abs(fixed[20, 0] - clean[20, 0]).max() < 0.2
+
+
+# ---------------------------------------------------------------------------
+# End-to-end slice on the real subject
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not os.path.exists(B3D), reason="reference data absent")
+def test_b3d_end_to_end_marker_fit(tmp_path):
+    """Real .b3d markers + its embedded .osim model -> IK init -> a short
+    marker fit. Checks the full interop chain produces sane errors."""
+    from nimblephysics_tpu.biomechanics.marker_fitter import MarkerFitter
+    from nimblephysics_tpu.biomechanics.opensim_parser import parse_osim
+
+    r = read_b3d(B3D)
+    osim_path = tmp_path / "model.osim"
+    osim_path.write_text(r.pass_osim_texts[0])
+    osim = parse_osim(str(osim_path))
+    skel = osim.skeleton
+    # The model has 35 coordinates; the b3d stores 33 independent dofs
+    # (the two knee_angle_*_beta patella couplers are
+    # CoordinateCouplerConstraint-driven, not independent). Marker-based
+    # fitting below does not require the dof orders to match.
+    assert skel.num_dofs >= r.num_dofs
+
+    fr = r.read_frames(0, 30, 6)
+    # Marker table order: intersect b3d marker names with model markers.
+    from nimblephysics_tpu.biomechanics.scaled_fk import marker_table
+
+    names, bodies, offsets, _ = marker_table(skel)
+    name_to_col = {n: i for i, n in enumerate(r.marker_names)}
+    obs = np.full((6, len(names), 3), np.nan)
+    matched = 0
+    for i, n in enumerate(names):
+        if n in name_to_col:
+            obs[:, i, :] = fr.marker_obs[:, name_to_col[n], :]
+            matched += 1
+    assert matched >= 10, f"only {matched} markers matched the model"
+
+    init = IKInitializer(skel)
+    q0 = init.initialize(obs)
+    assert np.isfinite(q0).all()
+
+    fitter = MarkerFitter(skel)
+    res = fitter.fit(
+        obs, q_init=q0, outer_iterations=4, ik_iterations=4
+    )
+    assert np.isfinite(res.avg_marker_error)
+    # Real mocap + matched model: should land under ~15 cm RMS even with
+    # this abbreviated fit (the reference converges to ~1-2 cm).
+    assert res.avg_marker_error < 0.15, res.avg_marker_error
