@@ -282,3 +282,23 @@ def mesh_mesh(T_a, hull_a: ConvexHull, T_b, hull_b: ConvexHull, k: int = 4):
         jnp.concatenate([outs[0][1], outs[1][1]]),
         jnp.concatenate([outs[0][2], outs[1][2]]),
     )
+
+
+def hull_triangles(verts: np.ndarray) -> np.ndarray:
+    """Triangle index list of the hull surface (build-time; used for
+    viewer display of convex mesh colliders). Brute force like
+    hull_faces; coplanar faces yield a fan of coplanar triangles."""
+    V = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
+    n = len(V)
+    tris = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                nrm = np.cross(V[j] - V[i], V[k] - V[i])
+                ln = np.linalg.norm(nrm)
+                if ln < 1e-12:
+                    continue
+                side = (V - V[i]) @ (nrm / ln)
+                if side.max() <= 1e-9 or side.min() >= -1e-9:
+                    tris.append((i, j, k))
+    return np.asarray(tris, dtype=np.int64).reshape(-1, 3)

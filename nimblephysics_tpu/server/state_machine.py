@@ -64,6 +64,19 @@ class GUIStateMachine:
                                points=np.asarray(points).reshape(-1, 3).tolist(),
                                color=_v(color), layer=layer))
 
+    def create_mesh(self, key, verts, faces, pos=(0, 0, 0),
+                    euler=(0, 0, 0), color=(0.5, 0.7, 0.6, 1.0), layer=""):
+        self._create(key, dict(
+            type="create_mesh", key=key,
+            verts=np.asarray(verts, dtype=np.float64).reshape(-1, 3).tolist(),
+            faces=np.asarray(faces, dtype=np.int64).reshape(-1, 3).tolist(),
+            pos=_v(pos), euler=_v(euler), color=_v(color), layer=layer))
+
+    def queue_raw(self, cmd: dict) -> None:
+        """Queue a non-retained command (e.g. screenshot requests)."""
+        with self._lock:
+            self._queue.append(cmd)
+
     def create_plane(self, key, normal=(0, 0, 1), offset=0.0,
                      color=(0.6, 0.6, 0.6, 1.0), layer=""):
         self._create(key, dict(type="create_plane", key=key, normal=_v(normal),
@@ -154,6 +167,18 @@ class GUIStateMachine:
                         elif t == SH.PLANE:
                             p = np.asarray(shape.size, dtype=np.float64)
                             self.create_plane(key, p[:3], float(p[3]) if p.size > 3 else 0.0)
+                        elif t == SH.MESH and shape.mesh_vertices is not None:
+                            from nimblephysics_tpu.collision.convex import (
+                                decimate_support,
+                                hull_triangles,
+                            )
+
+                            v = decimate_support(
+                                shape.mesh_vertices, max_verts=40
+                            )
+                            self.create_mesh(
+                                key, v, hull_triangles(v), pos, euler, color
+                            )
                     else:
                         self.set_object_position(key, pos)
                         self.set_object_rotation(key, euler)

@@ -85,7 +85,8 @@ def parse_sdf_world(path: str) -> Tuple[World, np.ndarray, np.ndarray]:
         )
     world = World(name=wx.get("name", "sdf"), gravity=gravity)
 
-    models = wx.findall("model") if wx.tag == "world" else [wx]
+    # <sdf> may wrap a <world> with models, or bare <model> element(s).
+    models = [wx] if wx.tag == "model" else wx.findall("model")
     for mx in models:
         skel = _parse_model(mx)
         world.add_skeleton(skel)

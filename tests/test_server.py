@@ -76,7 +76,7 @@ class TestWebsocketServer:
             html = urllib.request.urlopen(
                 "http://127.0.0.1:18070", timeout=5
             ).read()
-            assert b"three" in html
+            assert b"<canvas" in html and b"unpkg" not in html
             # Websocket: receive full state after displaying a world.
             gui.display_state(np.concatenate([q0, v0]))
             with ws_client.connect("ws://127.0.0.1:18071", open_timeout=5) as ws:
