@@ -118,7 +118,8 @@ void* b3d_open(const char* path) {
   }
   uint64_t len;
   memcpy(&len, b->map.data + 8, 8);
-  if (16 + len > b->map.size) {
+  // Overflow-safe: a crafted huge u64 len must not wrap 16 + len.
+  if (len > b->map.size - 16) {
     unmap_file(&b->map);
     delete b;
     return nullptr;
@@ -152,10 +153,18 @@ int b3d_read_frames(void* handle, int t, uint64_t start, uint64_t count,
   uint64_t stride = b->stride_floats[t];
   uint64_t frames = b->num_frames[t];
   if (start >= frames) return 0;
-  if (start + count > frames) count = frames - start;
-  uint64_t byte_off = b->offsets[t] + start * stride * sizeof(float);
+  if (count > frames - start) count = frames - start;
+  // Overflow-safe products and offsets (crafted headers must not wrap).
+  if (stride != 0 &&
+      (start > UINT64_MAX / stride / sizeof(float) ||
+       count > UINT64_MAX / stride / sizeof(float)))
+    return -2;
+  uint64_t rel = start * stride * sizeof(float);
   uint64_t bytes = count * stride * sizeof(float);
-  if (byte_off + bytes > b->map.size) return -2;
+  uint64_t base = b->offsets[t];
+  if (base > b->map.size || rel > b->map.size - base) return -2;
+  uint64_t byte_off = base + rel;
+  if (bytes > b->map.size - byte_off) return -2;
   memcpy(out, b->map.data + byte_off, bytes);
   return static_cast<int>(count);
 }
@@ -264,20 +273,27 @@ void* c3d_open(const char* path) {
       if (is_group && name == "POINT") point_group_id = -gid;
       if (!is_group && point_group_id != 0 && gid == point_group_id &&
           name == "LABELS") {
-        // parameter: data type, dims, data
+        // parameter: data type, dims, data (every read bounds-checked:
+        // a truncated/malformed C3D must not cause OOB reads).
         size_t q = off_at + 2;
-        int8_t dtype = static_cast<int8_t>(h[q]);
-        int ndims = h[q + 1];
-        if (dtype == -1 && ndims == 2) {
-          int w = h[q + 2];
-          int n = h[q + 3];
-          size_t data_at = q + 2 + ndims;
-          for (int i = 0; i < n; i++) {
-            std::string lab(
-                reinterpret_cast<const char*>(h + data_at + i * w), w);
-            // trim trailing spaces
-            while (!lab.empty() && lab.back() == ' ') lab.pop_back();
-            c->labels.push_back(lab);
+        if (q + 4 <= c->map.size) {
+          int8_t dtype = static_cast<int8_t>(h[q]);
+          int ndims = h[q + 1];
+          if (dtype == -1 && ndims == 2) {
+            int w = h[q + 2];
+            int n = h[q + 3];
+            size_t data_at = q + 2 + ndims;
+            if (w > 0 && n > 0 &&
+                data_at <= c->map.size &&
+                static_cast<size_t>(w) * n <= c->map.size - data_at) {
+              for (int i = 0; i < n; i++) {
+                std::string lab(
+                    reinterpret_cast<const char*>(h + data_at + i * w), w);
+                // trim trailing spaces
+                while (!lab.empty() && lab.back() == ' ') lab.pop_back();
+                c->labels.push_back(lab);
+              }
+            }
           }
         }
       }

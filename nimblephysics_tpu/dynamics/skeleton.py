@@ -57,9 +57,15 @@ class Skeleton:
     """
 
     def __init__(self, name: str = "skeleton"):
+        from nimblephysics_tpu.common.infra import NameManager
+
         self.name = name
         self.joints: List[JointSpec] = []
         self.bodies: List[BodySpec] = []
+        # Unique-name bookkeeping (reference: common::NameManager instances
+        # on Skeleton for BodyNodes/Joints/DOFs, Skeleton.cpp name issuing).
+        self.body_names = NameManager(f"{name}::bodies", "body")
+        self.joint_names = NameManager(f"{name}::joints", "joint")
         # Mocap markers: name -> (body index, local offset (3,), fixed).
         # Reference parity: dynamics::Marker attached to BodyNodes.
         self.markers: Dict[str, Tuple[int, np.ndarray, bool]] = {}
@@ -125,7 +131,9 @@ class Skeleton:
             if axes is not None
             else None
         )
-        body_name = name or f"body{idx}"
+        # NameManager issues a unique name on collision (reference
+        # behavior: Skeleton::addEntryToBodyNodeNameMgr).
+        body_name = self.body_names.issue_new_name(name or f"body{idx}")
         spec = JointSpec(
             joint_type=joint_type,
             name=f"{body_name}_joint",
@@ -171,6 +179,8 @@ class Skeleton:
         )
         self.joints.append(spec)
         self.bodies.append(body)
+        self.body_names.add_name(body_name, idx)
+        self.joint_names.add_name(spec.name, idx)
         return idx
 
     # -- static properties --------------------------------------------------

@@ -226,8 +226,12 @@ class GUIWebsocketServer:
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._thread: Optional[threading.Thread] = None
         self._http_thread: Optional[threading.Thread] = None
-        self._key_listeners: List[Callable[[str, bool], None]] = []
-        self._drag_listeners: List[Callable[[str, list], None]] = []
+        from nimblephysics_tpu.common.infra import Signal
+
+        # Event signals (reference: common::Signal used by the GUI server's
+        # key/drag listener registration, GUIWebsocketServer.hpp:51-99).
+        self.on_keydown = Signal()
+        self.on_drag = Signal()
         self._keys_down: Set[str] = set()
         self._screenshot_event = threading.Event()
         self._screenshot_data: Optional[bytes] = None
@@ -238,13 +242,13 @@ class GUIWebsocketServer:
     # requestScreenshot, GUIWebsocketServer.hpp:51-99) ----------------------
 
     def register_keydown_listener(self, cb: Callable[[str], None]) -> None:
-        self._key_listeners.append(lambda k, down: down and cb(k))
+        self.on_keydown.connect(cb)
 
     def register_drag_listener(
         self, cb: Callable[[str, list], None]
     ) -> None:
         """cb(object_key, world_pos) on viewer shift-drag of an object."""
-        self._drag_listeners.append(cb)
+        self.on_drag.connect(cb)
 
     def get_keys_down(self) -> Set[str]:
         return set(self._keys_down)
@@ -307,13 +311,13 @@ class GUIWebsocketServer:
                     et = ev.get("type")
                     if et == "keydown":
                         self._keys_down.add(ev["key"])
-                        for cb in self._key_listeners:
-                            cb(ev["key"], True)
+                        self.on_keydown.raise_signal(ev["key"])
                     elif et == "keyup":
                         self._keys_down.discard(ev["key"])
                     elif et == "drag":
-                        for cb in self._drag_listeners:
-                            cb(ev.get("key", ""), ev.get("pos", [0, 0, 0]))
+                        self.on_drag.raise_signal(
+                            ev.get("key", ""), ev.get("pos", [0, 0, 0])
+                        )
                     elif et == "screenshot":
                         data = ev.get("data", "")
                         if data.startswith("data:image/png;base64,"):

@@ -93,6 +93,12 @@ class World:
         self.actuator_types: Dict[int, dict] = {}
         # Reference-parity integration-scheme knob (World.cpp:82: true).
         self.parallel_velocity_and_position_updates = True
+        # Event signals (reference: common::Signal members on World /
+        # name-change signals): raised on skeleton insertion.
+        from nimblephysics_tpu.common.infra import NameManager, Signal
+
+        self.on_skeleton_added = Signal()
+        self.skeleton_names = NameManager(f"{name}::skeletons", "skeleton")
         # Gradient debug modes (reference: World.hpp:700-713 —
         # setUseFDOverride / setSlowDebugResultsAgainstFD): FD override
         # makes BackpropSnapshot return finite-difference Jacobians;
@@ -121,7 +127,12 @@ class World:
     # -- construction ------------------------------------------------------
 
     def add_skeleton(self, skel: Skeleton) -> int:
+        # NameManager keeps skeleton names unique; Signal notifies
+        # observers (GUI servers re-render on it) — reference parity:
+        # World's name manager + change signals.
+        self.skeleton_names.add_name(skel.name, skel)
         self.skeletons.append(skel)
+        self.on_skeleton_added.raise_signal(skel)
         return len(self.skeletons) - 1
 
     def add_ball_joint_constraint(
