@@ -86,6 +86,18 @@ def _canonical_pair(sa: SH.ShapeSpec, sb: SH.ShapeSpec):
         (SH.CAPSULE, SH.MESH): ("capsule_mesh", 3),
         (SH.BOX, SH.MESH): ("box_mesh", 8),
         (SH.MESH, SH.MESH): ("mesh_mesh", 8),
+        # Heightmap terrain (reference: HeightmapShape.hpp).
+        (SH.SPHERE, SH.HEIGHTMAP): ("sphere_heightmap", 1),
+        (SH.CAPSULE, SH.HEIGHTMAP): ("capsule_heightmap", 3),
+        (SH.BOX, SH.HEIGHTMAP): ("box_heightmap", 8),
+        # Multi-sphere convex hulls collide as their sphere sets
+        # (reference: MultiSphereConvexHullShape.hpp).
+        (SH.MULTI_SPHERE, SH.PLANE): ("multisphere_plane", 0),
+        (SH.SPHERE, SH.MULTI_SPHERE): ("sphere_multisphere", 0),
+        (SH.CAPSULE, SH.MULTI_SPHERE): ("capsule_multisphere", 0),
+        (SH.BOX, SH.MULTI_SPHERE): ("box_multisphere", 0),
+        (SH.MULTI_SPHERE, SH.MULTI_SPHERE): ("multisphere_multisphere", 0),
+        (SH.MULTI_SPHERE, SH.HEIGHTMAP): ("multisphere_heightmap", 0),
     }
     if (ta_n, tb_n) in table:
         kind, n = table[(ta_n, tb_n)]
@@ -180,6 +192,17 @@ class Collider:
                     if sb.mesh_vertices is None:
                         continue
                     hull_b = hull_of(sb)
+                if "multisphere" in kind:
+                    na_ = len(sa.spheres) if sa.shape_type == SH.MULTI_SPHERE else 1
+                    nb_ = len(sb.spheres) if sb.shape_type == SH.MULTI_SPHERE else 1
+                    if kind == "multisphere_multisphere":
+                        n_slots = na_ * nb_
+                    elif kind == "box_multisphere":
+                        n_slots = nb_  # one sphere-box slot per sphere
+                    elif kind == "capsule_multisphere":
+                        n_slots = nb_
+                    else:
+                        n_slots = max(na_, nb_)
                 if kind == "mesh_plane":
                     n_slots = min(8, len(hull_a.verts))
                 elif kind == "box_mesh":
@@ -328,7 +351,80 @@ class Collider:
             from nimblephysics_tpu.collision import convex
 
             return convex.mesh_mesh(Ta, slot.hull_a, Tb, slot.hull_b)
+        if k == "sphere_heightmap":
+            hm = jnp.asarray(sb.heights, dtype=dtype)
+            return nphase.sphere_heightmap(
+                Ta[:3, 3], _sphere_radius(sa), Tb, hm, tuple(sb.size)
+            )
+        if k == "capsule_heightmap":
+            hm = jnp.asarray(sb.heights, dtype=dtype)
+            r, h = float(sa.size[0]), float(sa.size[1])
+            return nphase.capsule_heightmap(Ta, r, h, Tb, hm, tuple(sb.size))
+        if k == "box_heightmap":
+            hm = jnp.asarray(sb.heights, dtype=dtype)
+            half = jnp.asarray(sa.size, dtype=dtype) / 2.0
+            return nphase.box_heightmap(Ta, half, Tb, hm, tuple(sb.size))
+        if "multisphere" in k:
+            return self._dispatch_multisphere(slot, Ta, Tb, dtype)
         raise NotImplementedError(k)
+
+    def _dispatch_multisphere(self, slot, Ta, Tb, dtype):
+        """Multi-sphere hulls collide as their sphere sets: each member
+        sphere runs the corresponding primitive pair; slots concatenate
+        (reference analog: MultiSphereConvexHullShape support points)."""
+        sa, sb = slot.shape_a, slot.shape_b
+        k = slot.kind
+
+        def spheres_world(spec, T):
+            S = np.asarray(spec.spheres, dtype=np.float64)
+            cs = [lie.transform_point(T, jnp.asarray(c[:3], dtype=dtype))
+                  for c in S]
+            return cs, [float(c[3]) for c in S]
+
+        pts, ns, ds = [], [], []
+
+        def add(out):
+            p, n, d = out
+            pts.append(p)
+            ns.append(n)
+            ds.append(d)
+
+        if k == "multisphere_plane":
+            cs, rs = spheres_world(sa, Ta)
+            n_w, d_w = _plane_world(sb, Tb, dtype)
+            for c, r in zip(cs, rs):
+                add(nphase.sphere_plane(c, r, n_w, d_w))
+        elif k == "sphere_multisphere":
+            cs, rs = spheres_world(sb, Tb)
+            for c, r in zip(cs, rs):
+                add(nphase.sphere_sphere(
+                    Ta[:3, 3], _sphere_radius(sa), c, r))
+        elif k == "capsule_multisphere":
+            cs, rs = spheres_world(sb, Tb)
+            r_c, h_c = float(sa.size[0]), float(sa.size[1])
+            for c, r in zip(cs, rs):
+                add(nphase.capsule_sphere(Ta, r_c, h_c, c, r))
+        elif k == "box_multisphere":
+            cs, rs = spheres_world(sb, Tb)
+            half = jnp.asarray(sa.size, dtype=dtype) / 2.0
+            for c, r in zip(cs, rs):
+                p, n, d = nphase.sphere_box(c, r, Ta, half)
+                # sphere is body B here: flip the B->A convention.
+                add((p, -n, d))
+        elif k == "multisphere_multisphere":
+            cs_a, rs_a = spheres_world(sa, Ta)
+            cs_b, rs_b = spheres_world(sb, Tb)
+            for ca_, ra_ in zip(cs_a, rs_a):
+                for cb_, rb_ in zip(cs_b, rs_b):
+                    add(nphase.sphere_sphere(ca_, ra_, cb_, rb_))
+        elif k == "multisphere_heightmap":
+            cs, rs = spheres_world(sa, Ta)
+            hm = jnp.asarray(sb.heights, dtype=dtype)
+            for c, r in zip(cs, rs):
+                add(nphase.sphere_heightmap(c, r, Tb, hm, tuple(sb.size)))
+        else:
+            raise NotImplementedError(k)
+        return jnp.concatenate(pts), jnp.concatenate(ns), jnp.concatenate(ds)
 
 
 def _plane_world(spec: SH.ShapeSpec, T_ws, dtype):

@@ -525,3 +525,85 @@ def ellipsoid_as_sphere(size):
     axis-aligned-equal (DARTCollisionDetector.cpp:283-308 treats
     ellipsoid-as-sphere). radius = mean semi-axis."""
     return jnp.mean(size) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# Heightmap terrain (reference: dynamics/HeightmapShape.hpp). Local frame:
+# grid point (i, j) sits at ((i - (W-1)/2) sx, (j - (H-1)/2) sy,
+# heights[j, i] * sz); heights is (H, W). Contacts use bilinear height
+# interpolation and a central-difference surface normal — differentiable.
+# ---------------------------------------------------------------------------
+
+
+def _heightmap_sample(heights, scale, xy_local):
+    """Bilinear height + world-up normal (local frame) at xy (2,)."""
+    H, W = heights.shape
+    sx, sy, sz = scale
+    gx = xy_local[0] / sx + (W - 1) / 2.0
+    gy = xy_local[1] / sy + (H - 1) / 2.0
+    inside = (gx >= 0.0) & (gx <= W - 1) & (gy >= 0.0) & (gy <= H - 1)
+    gx = jnp.clip(gx, 0.0, W - 1 - 1e-9)
+    gy = jnp.clip(gy, 0.0, H - 1 - 1e-9)
+    i0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, W - 2)
+    j0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, H - 2)
+    fx = gx - i0
+    fy = gy - j0
+    h00 = heights[j0, i0]
+    h10 = heights[j0, i0 + 1]
+    h01 = heights[j0 + 1, i0]
+    h11 = heights[j0 + 1, i0 + 1]
+    h = ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h10
+         + (1 - fx) * fy * h01 + fx * fy * h11) * sz
+    # Bilinear-patch gradient -> outward (up) normal.
+    dh_dx = (((1 - fy) * (h10 - h00) + fy * (h11 - h01)) * sz) / sx
+    dh_dy = (((1 - fx) * (h01 - h00) + fx * (h11 - h10)) * sz) / sy
+    n = jnp.stack([-dh_dx, -dh_dy, jnp.ones_like(h)])
+    n = n / jnp.linalg.norm(n)
+    return h, n, inside
+
+
+def sphere_heightmap(center, radius, T_hm, heights, scale):
+    """Sphere (A) vs heightmap (B): 1 slot."""
+    T_inv = lie.transform_inv(T_hm)
+    c_local = lie.transform_point(T_inv, center)
+    h, n_local, inside = _heightmap_sample(heights, scale, c_local[:2])
+    # Signed distance along the surface normal (approx: vertical gap
+    # projected on n) — exact for flat cells.
+    gap = (c_local[2] - h) * n_local[2]
+    depth = jnp.where(inside, radius - gap, -1.0)
+    n_world = lie.transform_vector(T_hm, n_local)
+    point = center - n_world * (radius - 0.5 * depth)
+    return point[None], n_world[None], depth[None]
+
+
+def capsule_heightmap(T_cap, radius, height, T_hm, heights, scale):
+    """Capsule (A) vs heightmap (B): 3 slots (ends + midpoint)."""
+    dtype = T_cap.dtype
+    axis = lie.transform_vector(T_cap, jnp.array([0.0, 0.0, 1.0], dtype=dtype))
+    c = T_cap[:3, 3]
+    pts, ns, ds = [], [], []
+    for t in (-0.5, 0.0, 0.5):
+        p, n, d = sphere_heightmap(
+            c + axis * (t * height), radius, T_hm, heights, scale
+        )
+        pts.append(p[0])
+        ns.append(n[0])
+        ds.append(d[0])
+    return jnp.stack(pts), jnp.stack(ns), jnp.stack(ds)
+
+
+def box_heightmap(T_box, half, T_hm, heights, scale):
+    """Box (A) vs heightmap (B): 8 corner slots."""
+    dtype = T_box.dtype
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+         for sz in (-1.0, 1.0)], dtype=dtype,
+    )
+    pts, ns, ds = [], [], []
+    for k in range(8):
+        corner = lie.transform_point(T_box, signs[k] * half)
+        p, n, d = sphere_heightmap(corner, 0.0, T_hm, heights, scale)
+        pts.append(p[0])
+        ns.append(n[0])
+        ds.append(d[0])
+    return jnp.stack(pts), jnp.stack(ns), jnp.stack(ds)

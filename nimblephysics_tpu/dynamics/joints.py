@@ -46,7 +46,15 @@ PLANAR = "planar"
 FREE = "free"
 EULER_FREE = "eulerfree"
 WELD = "weld"
-CUSTOM = "custom"  # spline-driven (OpenSim); lands with biomechanics tier
+CUSTOM = "custom"  # spline-driven (OpenSim)
+# Biomechanics joint types (reference: dart/dynamics/EllipsoidJoint.hpp,
+# ScapulathoracicJoint.hpp, ConstantCurveJoint.hpp,
+# ConstantCurveIncompressibleJoint.hpp — the shoulder/spine joints
+# OpenSim models need). Parameters live in JointSpec.props.
+ELLIPSOID_JOINT = "ellipsoid"
+SCAPULATHORACIC = "scapulathoracic"
+CONSTANT_CURVE = "constantcurve"
+CONSTANT_CURVE_INCOMPRESSIBLE = "constantcurveincompressible"
 
 _NUM_DOFS = {
     REVOLUTE: 1,
@@ -61,6 +69,10 @@ _NUM_DOFS = {
     FREE: 6,
     EULER_FREE: 6,
     WELD: 0,
+    ELLIPSOID_JOINT: 3,
+    SCAPULATHORACIC: 4,
+    CONSTANT_CURVE: 4,
+    CONSTANT_CURVE_INCOMPRESSIBLE: 3,
 }
 
 
@@ -115,6 +127,12 @@ class JointSpec:
     velocity_limit: Optional[np.ndarray] = None
     force_limit: Optional[np.ndarray] = None
     custom: Optional["CustomJointDef"] = None  # for joint_type == CUSTOM
+    # Per-type static parameters for the biomechanics joints:
+    #   ellipsoid/scapulathoracic: radii (3,), euler_order, flip (3|4,),
+    #     winging_axis_offset (2,), winging_axis_direction (scalar)
+    #   constantcurve(.incompressible): neutral (3|4,), flip (3,),
+    #     length (incompressible only)
+    props: Optional[dict] = None
 
     @property
     def num_dofs(self) -> int:
@@ -209,6 +227,74 @@ def joint_transform(spec: JointSpec, q: jnp.ndarray) -> jnp.ndarray:
         return lie.rp_to_transform(
             lie.euler_to_matrix(q[:3], spec.euler_order), q[3:]
         )
+    if t in (ELLIPSOID_JOINT, SCAPULATHORACIC):
+        # Reference: EllipsoidJoint::updateRelativeTransform
+        # (EllipsoidJoint.cpp:128-162) / ScapulathoracicJoint.cpp:154-198.
+        pr = spec.props or {}
+        radii = jnp.asarray(pr.get("radii", (1.0, 1.0, 1.0)), dtype=dtype)
+        flip = np.asarray(pr.get("flip", np.ones(4)))
+        order = pr.get("euler_order", "xyz")
+        # Euler ball conjugated into +90Z space.
+        eulerR = jnp.asarray(
+            [[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+            dtype=dtype,
+        )
+        Re = lie.euler_to_matrix(
+            q[:3] * jnp.asarray(flip[:3], dtype=dtype), order
+        )
+        R = eulerR.T @ Re @ eulerR
+        p = (R @ jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)) * radii
+        if t == SCAPULATHORACIC:
+            # Winging: rotation about an axis in the XY plane, offset in
+            # the tangent plane (ScapulathoracicJoint.cpp:158-169).
+            alpha = float(pr.get("winging_axis_direction", 0.0))
+            off = np.asarray(pr.get("winging_axis_offset", (0.0, 0.0)))
+            wdir = jnp.asarray(
+                [-np.sin(alpha), np.cos(alpha), 0.0], dtype=dtype
+            )
+            Rw = lie.exp_map_rot(wdir * (q[3] * float(flip[3])))
+            wo = jnp.asarray([off[0], off[1], 0.0], dtype=dtype)
+            # T(wo) Rw T(-wo) composed after the ellipsoid surface.
+            p_w = wo - Rw @ wo
+            R_full = R @ Rw
+            p_full = R @ p_w + p
+            return lie.rp_to_transform(R_full, p_full)
+        return lie.rp_to_transform(R, p)
+    if t in (CONSTANT_CURVE, CONSTANT_CURVE_INCOMPRESSIBLE):
+        # Reference: ConstantCurveJoint::updateRelativeTransform
+        # (ConstantCurveJoint.cpp:105-150): XZY euler bend + a
+        # constant-curvature rod of length d bent away from vertical.
+        pr = spec.props or {}
+        neutral = jnp.asarray(
+            pr.get("neutral", np.zeros(num_dofs(t))), dtype=dtype
+        )
+        flip = jnp.asarray(pr.get("flip", np.ones(3)), dtype=dtype)
+        pos = q + neutral
+        if t == CONSTANT_CURVE:
+            d = pos[3]
+        else:
+            d = jnp.asarray(float(pr.get("length", 1.0)), dtype=dtype)
+        R = lie.euler_to_matrix(pos[:3] * flip, "xzy")
+        cx, sx = jnp.cos(pos[0]), jnp.sin(pos[0])
+        cz, sz = jnp.cos(pos[1]), jnp.sin(pos[1])
+        linear_angle = jnp.stack([-sz, cx * cz, cz * sx])
+        sin_theta2 = linear_angle[0] ** 2 + linear_angle[2] ** 2
+        small = sin_theta2 < 1e-6
+        sin_theta = jnp.sqrt(jnp.where(small, 1.0, sin_theta2))
+        theta = jnp.arcsin(jnp.clip(sin_theta, -1.0, 1.0))
+        r = d / jnp.where(small, 1.0, theta)
+        horiz = r - r * jnp.cos(theta)
+        vert = r * sin_theta
+        p_bent = jnp.stack(
+            [
+                horiz * linear_angle[0] / sin_theta,
+                vert,
+                horiz * linear_angle[2] / sin_theta,
+            ]
+        )
+        p_vert = R @ (jnp.asarray([0.0, 1.0, 0.0], dtype=dtype) * d)
+        p = jnp.where(small, p_vert, p_bent)
+        return lie.rp_to_transform(R, p)
     if t == CUSTOM:
         cj = spec.custom
         zero = jnp.zeros((), dtype=dtype)

@@ -53,6 +53,13 @@ class ShapeSpec:
     color: Optional[np.ndarray] = None
     mesh_vertices: Optional[np.ndarray] = None  # (n, 3) for convex meshes
     mesh_faces: Optional[np.ndarray] = None  # (m, 3) int
+    # heightmap: heights (H, W) in the shape frame; size = [sx, sy, sz]
+    # (xy grid spacing + height scale), grid centered on the origin
+    # (reference: dynamics::HeightmapShape).
+    heights: Optional[np.ndarray] = None
+    # multisphere: (N, 4) rows [cx, cy, cz, radius]
+    # (reference: dynamics::MultiSphereConvexHullShape).
+    spheres: Optional[np.ndarray] = None
 
     def bounding_radius(self) -> float:
         """Radius of a bounding sphere centred at the shape frame origin."""

@@ -119,6 +119,7 @@ class Skeleton:
         velocity_limit: Optional[Sequence] = None,
         force_limit: Optional[Sequence] = None,
         custom=None,
+        props: Optional[dict] = None,
     ) -> int:
         """Append a joint + child body; returns the new body index."""
         assert not self._frozen, "Skeleton already in use (trace-time frozen)"
@@ -167,6 +168,7 @@ class Skeleton:
                 None if force_limit is None else np.asarray(force_limit, np.float64)
             ),
             custom=custom,
+            props=props,
         )
         if inertia is None:
             inertia = np.eye(3) * 0.1 * mass
