@@ -58,6 +58,12 @@ def _geometry(g: ET.Element):
     if pl is not None:
         n = np.array([float(x) for x in pl.findtext("normal", "0 0 1").split()])
         return "plane", np.concatenate([n, [0.0]])
+    mesh = g.find("mesh")
+    if mesh is not None:
+        scale = np.array(
+            [float(x) for x in mesh.findtext("scale", "1 1 1").split()]
+        )
+        return "mesh", scale, (mesh.findtext("uri") or "").strip()
     return None
 
 
@@ -86,15 +92,18 @@ def parse_sdf_world(path: str) -> Tuple[World, np.ndarray, np.ndarray]:
     world = World(name=wx.get("name", "sdf"), gravity=gravity)
 
     # <sdf> may wrap a <world> with models, or bare <model> element(s).
+    import os
+
+    base_dir = os.path.dirname(os.path.abspath(path))
     models = [wx] if wx.tag == "model" else wx.findall("model")
     for mx in models:
-        skel = _parse_model(mx)
+        skel = _parse_model(mx, base_dir)
         world.add_skeleton(skel)
     nv = world.num_dofs
     return world, np.zeros(nv), np.zeros(nv)
 
 
-def _parse_model(mx: ET.Element) -> Skeleton:
+def _parse_model(mx: ET.Element, base_dir: str = "") -> Skeleton:
     name = mx.get("name", "model")
     static = (mx.findtext("static", "false").strip().lower() in ("true", "1"))
     T_model = _pose_T(mx.findtext("pose"))
@@ -135,12 +144,27 @@ def _parse_model(mx: ET.Element) -> Skeleton:
                 parsed = _geometry(g)
                 if parsed is None:
                     continue
-                st, size = parsed
+                mesh_verts = mesh_faces = None
+                if parsed[0] == "mesh":
+                    from nimblephysics_tpu.utils.urdf_parser import (
+                        _load_mesh_asset,
+                    )
+
+                    st, scale, uri = parsed
+                    size = np.zeros(1)
+                    mesh_verts, mesh_faces = _load_mesh_asset(
+                        uri, base_dir, scale
+                    )
+                    if mesh_verts is None:
+                        continue
+                else:
+                    st, size = parsed
                 shapes.append(
                     ShapeSpec(
                         shape_type=st, size=size,
                         T_offset=_pose_T(sx.findtext("pose")),
                         collidable=coll, visual=not coll,
+                        mesh_vertices=mesh_verts, mesh_faces=mesh_faces,
                     )
                 )
         links[lname] = dict(T_wl=T_wl, mass=mass, com=com, inertia=I,
