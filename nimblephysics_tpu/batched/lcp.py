@@ -359,25 +359,38 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
     valid = sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_pol)))
 
     if fallback_cfm:
-        soft = cfm + fallback_cfm
-        z_soft = _pinned_solve(
-            meta, F, soft, b, mu, clamping, upper, sign_u, at_hi=at_hi
-        )
-        valid_soft = sg(_lcp_valid(meta, Fs, soft, bs, mus, sg(z_soft)))
-        isf = jnp.asarray(meta.is_friction)[:, None]
-        clamp_nf = clamping & ~isf
-        upper_nf = jnp.zeros_like(upper)
-        z_nf = _pinned_solve(
-            meta, F, soft, b, mu, clamp_nf, upper_nf, sign_u, at_hi=at_hi
-        )
-        z_nf = jnp.where(isf, jnp.zeros_like(z_nf), z_nf)
-        valid_nf = sg(
-            _lcp_valid(meta, Fs, soft, bs, jnp.zeros_like(mus), sg(z_nf))
-        )
-        z_fb = jnp.where(
-            valid_soft[None, :],
-            z_soft,
-            jnp.where(valid_nf[None, :], z_nf, z_seed),
+        # Ladder rungs are LAZY: lax.cond on "any world failed validity"
+        # (a scalar — the batch axis is explicit here, not vmapped), so
+        # the throughput path pays nothing when every island is healthy.
+        def run_ladder(_):
+            soft = cfm + fallback_cfm
+            z_soft = _pinned_solve(
+                meta, F, soft, b, mu, clamping, upper, sign_u, at_hi=at_hi
+            )
+            valid_soft = sg(
+                _lcp_valid(meta, Fs, soft, bs, mus, sg(z_soft))
+            )
+            isf = jnp.asarray(meta.is_friction)[:, None]
+            clamp_nf = clamping & ~isf
+            upper_nf = jnp.zeros_like(upper)
+            z_nf = _pinned_solve(
+                meta, F, soft, b, mu, clamp_nf, upper_nf, sign_u,
+                at_hi=at_hi,
+            )
+            z_nf = jnp.where(isf, jnp.zeros_like(z_nf), z_nf)
+            valid_nf = sg(
+                _lcp_valid(
+                    meta, Fs, soft, bs, jnp.zeros_like(mus), sg(z_nf)
+                )
+            )
+            return jnp.where(
+                valid_soft[None, :],
+                z_soft,
+                jnp.where(valid_nf[None, :], z_nf, z_seed),
+            )
+
+        z_fb = jax.lax.cond(
+            jnp.all(valid), lambda _: z_seed, run_ladder, None
         )
     else:
         z_fb = z_seed
