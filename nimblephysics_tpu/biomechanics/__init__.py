@@ -47,3 +47,6 @@ from nimblephysics_tpu.biomechanics.dynamics_fitter import (
 )
 from nimblephysics_tpu.biomechanics.marker_fixer import clean_marker_traces
 from nimblephysics_tpu.biomechanics.scale_groups import ScaleGroups
+from nimblephysics_tpu.biomechanics.b3d_writer import (
+    write_b3d_reference_format,
+)

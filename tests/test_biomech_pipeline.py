@@ -359,3 +359,47 @@ def test_b3d_end_to_end_marker_fit(tmp_path):
     # Real mocap + matched model: should land under ~15 cm RMS even with
     # this abbreviated fit (the reference converges to ~1-2 cm).
     assert res.avg_marker_error < 0.15, res.avg_marker_error
+
+
+def test_b3d_reference_format_write_read_roundtrip(tmp_path):
+    """Writer emits the reference binary layout; the schema reader (which
+    also reads the real AddBiomechanics file) round-trips it exactly."""
+    from nimblephysics_tpu.biomechanics.b3d_writer import (
+        write_b3d_reference_format,
+    )
+
+    rng = np.random.RandomState(0)
+    T, nq, M, P = 25, 7, 4, 2
+    poses = rng.randn(T, nq)
+    mk = rng.randn(T, M, 3)
+    pf = np.abs(rng.randn(T, P, 3)) * 100
+    path = str(tmp_path / "rt.b3d")
+    write_b3d_reference_format(
+        path, num_dofs=nq,
+        trials=[
+            dict(name="walk", timestep=0.01, poses=poses, marker_obs=mk,
+                 plate_force=pf, plate_cop=np.zeros((T, P, 3)),
+                 plate_torque=np.zeros((T, P, 3))),
+            dict(name="run", timestep=0.005, poses=poses[:10],
+                 marker_obs=mk[:10], plate_force=pf[:10] * 2,
+                 plate_cop=np.zeros((10, P, 3)),
+                 plate_torque=np.zeros((10, P, 3))),
+        ],
+        ground_contact_bodies=["foot_l", "foot_r"],
+        marker_names=[f"M{i}" for i in range(M)],
+        pass_types=[0], pass_osim_texts=["<OpenSimDocument/>"],
+        biological_sex="female", height_m=1.68, mass_kg=61.5, age_years=28,
+    )
+    r = read_b3d(path)
+    assert r.num_dofs == nq and r.num_trials == 2
+    assert r.marker_names == [f"M{i}" for i in range(M)]
+    assert (r.biological_sex, r.height_m, r.mass_kg, r.age_years) == (
+        "female", 1.68, 61.5, 28,
+    )
+    assert r.trials[0].num_force_plates == P
+    fr = r.read_frames(0)
+    np.testing.assert_allclose(fr.pos[0], poses)
+    np.testing.assert_allclose(fr.marker_obs, mk)
+    np.testing.assert_allclose(fr.raw_force_plate_force, pf)
+    fr1 = r.read_frames(1, 2, 5)
+    np.testing.assert_allclose(fr1.pos[0], poses[2:7])
