@@ -152,7 +152,8 @@ class AugmentedLagrangianOptimizer:
 
         x = x0
         lam = jnp.zeros(nc, dtype=x0.dtype)
-        rho = self.rho0
+        # Device scalar: avoid retracing inner_solve on every rho change.
+        rho = jnp.asarray(self.rho0, dtype=x0.dtype)
         best = None
         history = []
         prev_viol = float("inf")
@@ -275,8 +276,10 @@ class GaussNewtonOptimizer:
 
         x = x0
         lam = jnp.zeros(nc, dtype=x0.dtype)
-        rho = self.rho0
-        mu = self.mu0
+        # Device scalars: python floats would RETRACE the jitted KKT step
+        # on every rho/mu change (each retrace is a full XLA compile).
+        rho = jnp.asarray(self.rho0, dtype=x0.dtype)
+        mu = jnp.asarray(self.mu0, dtype=x0.dtype)
         history = []
         best = None
         prev_viol = float("inf")
@@ -299,7 +302,7 @@ class GaussNewtonOptimizer:
             if nc:
                 lam = lam + rho * h
                 if viol > 0.3 * prev_viol:
-                    rho *= self.rho_growth
+                    rho = rho * self.rho_growth
                 prev_viol = viol
         x, loss, viol = best
         return Solution(
