@@ -345,8 +345,14 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
     """
     sg = jax.lax.stop_gradient
     Fs, bs, mus = sg(F), sg(b), sg(mu)
-    seed_fn = _apgd if meta.solver == "apgd" else _pgs
-    z_seed = seed_fn(meta, F, cfm, b, mu, z_warm)
+    if meta.solver == "apgd":
+        # Pallas fast path on TPU (F stays in VMEM for all iterations);
+        # pure-JAX seed elsewhere (batched/lcp_pallas.py).
+        from nimblephysics_tpu.batched.lcp_pallas import apgd_seed_tpu
+
+        z_seed = apgd_seed_tpu(meta, F, b, mu, z_warm, cfm)
+    else:
+        z_seed = _pgs(meta, F, cfm, b, mu, z_warm)
     clamping, upper, at_hi = _classify(meta, Fs, cfm, bs, mus, sg(z_seed))
     sign_u = jnp.sign(sg(z_seed))
     for _ in range(meta.refine_rounds):
