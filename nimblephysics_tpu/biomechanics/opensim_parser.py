@@ -73,17 +73,63 @@ class OpenSimFile:
     (skeleton.markers) so marker_table/MarkerFitter work directly.
     """
 
-    def __init__(self, skeleton: Skeleton, markers, coordinate_names):
+    def __init__(self, skeleton: Skeleton, markers, coordinate_names,
+                 couplers=None):
         self.skeleton = skeleton
         # markers: name -> (body_index, local_offset, fixed)
         self.markers: Dict[str, Tuple[int, np.ndarray, bool]] = markers
         for name, (b, off, fixed) in markers.items():
             skeleton.add_marker(name, b, off, fixed)
         self.coordinate_names: List[str] = coordinate_names
+        # CoordinateCouplerConstraints (reference: OpenSimParser.cpp:
+        # 400-440 `jointsDrivenBy` — patella-style dependent coordinates):
+        # list of (dependent_idx, independent_idx, splines.Fn).
+        self.couplers = couplers or []
 
     @property
     def marker_names(self) -> List[str]:
         return list(self.markers.keys())
+
+    # -- reduced <-> full coordinate mappings -----------------------------
+    # AddBiomechanics data (e.g. .b3d kinematics) stores only INDEPENDENT
+    # coordinates; coupler-driven ones are functions of them. These
+    # differentiable maps convert between the two spaces.
+
+    @property
+    def independent_indices(self) -> "np.ndarray":
+        dep = {d for d, _, _ in self.couplers}
+        return np.asarray(
+            [i for i in range(len(self.coordinate_names)) if i not in dep],
+            dtype=np.int64,
+        )
+
+    @property
+    def independent_coordinate_names(self) -> List[str]:
+        return [self.coordinate_names[i] for i in self.independent_indices]
+
+    def expand_poses(self, q_independent):
+        """(..., n_independent) -> (..., n_full): dependent coordinates
+        evaluated as fn(independent). Differentiable."""
+        import jax.numpy as jnp
+
+        q_independent = jnp.asarray(q_independent)
+        n_full = len(self.coordinate_names)
+        ind = self.independent_indices
+        out = jnp.zeros(q_independent.shape[:-1] + (n_full,),
+                        dtype=q_independent.dtype)
+        out = out.at[..., ind].set(q_independent)
+        pos_of = {int(g): k for k, g in enumerate(ind)}
+        for dep, indep, fn in self.couplers:
+            out = out.at[..., dep].set(
+                fn(q_independent[..., pos_of[indep]])
+            )
+        return out
+
+    def reduce_poses(self, q_full):
+        """(..., n_full) -> (..., n_independent)."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(q_full)[..., self.independent_indices]
 
 
 def parse_osim(path: str, geometry_folder: str = "") -> OpenSimFile:
@@ -159,7 +205,43 @@ def parse_osim(path: str, geometry_folder: str = "") -> OpenSimFile:
                 if body in index_of and index_of[body] >= 0:
                     markers[mx.get("name")] = (index_of[body], loc, fixed)
 
-    return OpenSimFile(skel, markers, coordinate_names)
+    return OpenSimFile(
+        skel, markers, coordinate_names,
+        couplers=_parse_couplers(model, coordinate_names),
+    )
+
+
+def _parse_couplers(model, coordinate_names):
+    """ConstraintSet -> CoordinateCouplerConstraint list
+    (reference: OpenSimParser.cpp:390-440). Returns
+    [(dependent_idx, independent_idx, fn)] for single-independent
+    couplers whose coordinates exist in the model (the patella
+    knee_angle_*_beta pattern and similar)."""
+    out = []
+    cset = model.find("ConstraintSet")
+    if cset is None:
+        return out
+    objs = cset.find("objects")
+    if objs is None:
+        return out
+    name_to_idx = {n: i for i, n in enumerate(coordinate_names)}
+    for cx in objs.findall("CoordinateCouplerConstraint"):
+        indep_el = cx.findtext("independent_coordinate_names")
+        dep_el = cx.findtext("dependent_coordinate_name")
+        if not indep_el or not dep_el:
+            continue
+        indep_names = indep_el.split()
+        dep = dep_el.strip()
+        if len(indep_names) != 1:
+            continue  # multi-independent couplers unsupported (reference
+            # ignores non-patella couplers entirely)
+        indep = indep_names[0]
+        if dep not in name_to_idx or indep not in name_to_idx:
+            continue
+        fx = cx.find("coupled_coordinates_function")
+        fn = _parse_function(fx if fx is not None else cx)
+        out.append((name_to_idx[dep], name_to_idx[indep], fn))
+    return out
 
 
 def _add_body(skel, bx, jx, parent_idx, coordinate_names) -> int:
@@ -367,7 +449,10 @@ def _parse_v4(model: ET.Element) -> OpenSimFile:
                     _floats(mx.findtext("location", "0 0 0")),
                     mx.findtext("fixed", "false").strip().lower() == "true",
                 )
-    return OpenSimFile(skel, markers, coordinate_names)
+    return OpenSimFile(
+        skel, markers, coordinate_names,
+        couplers=_parse_couplers(model, coordinate_names),
+    )
 
 
 def _add_joint_v4(skel, jx, parent_idx, T_pj, T_cj, bname, info,

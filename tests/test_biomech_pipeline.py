@@ -403,3 +403,57 @@ def test_b3d_reference_format_write_read_roundtrip(tmp_path):
     np.testing.assert_allclose(fr.raw_force_plate_force, pf)
     fr1 = r.read_frames(1, 2, 5)
     np.testing.assert_allclose(fr1.pos[0], poses[2:7])
+
+
+@pytest.mark.skipif(not os.path.exists(B3D), reason="reference data absent")
+def test_b3d_poses_fk_matches_observed_markers():
+    """CROSS-ENGINE ORACLE: run OUR forward kinematics on the .b3d's own
+    IK poses (computed by the reference/AddBiomechanics pipeline) and
+    compare predicted marker positions against the RAW observed markers.
+    Agreement to a few cm validates the whole osim-parse + CustomJoint +
+    coupler + FK chain against the reference's solution — the stand-in
+    for the unavailable pip-installed CPU-Nimble gradient oracle.
+    """
+    from nimblephysics_tpu.biomechanics.opensim_parser import parse_osim
+    from nimblephysics_tpu.biomechanics.scaled_fk import (
+        marker_table,
+        marker_world_positions,
+    )
+    import tempfile
+
+    r = read_b3d(B3D)
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".osim", delete=False
+    ) as f:
+        f.write(r.pass_osim_texts[0])
+        osim_path = f.name
+    osim = parse_osim(osim_path)
+
+    # Coupler parity: the two patella couplers reduce 35 -> 33 dofs,
+    # matching the b3d's independent-dof count exactly.
+    assert len(osim.couplers) == 2
+    dep_names = {osim.coordinate_names[d] for d, _, _ in osim.couplers}
+    assert dep_names == {"knee_angle_r_beta", "knee_angle_l_beta"}
+    assert len(osim.independent_coordinate_names) == r.num_dofs
+
+    fr = r.read_frames(0, 30, 8)
+    q_full = osim.expand_poses(jnp.asarray(fr.pos[0]))
+    names, bodies, offsets, _ = marker_table(osim.skeleton)
+    name_to_col = {n: i for i, n in enumerate(r.marker_names)}
+    errs = []
+    for t in range(8):
+        pred = np.asarray(
+            marker_world_positions(
+                osim.skeleton, q_full[t], bodies, jnp.asarray(offsets)
+            )
+        )
+        for i, n in enumerate(names):
+            if n in name_to_col:
+                obs = fr.marker_obs[t, name_to_col[n]]
+                if np.isfinite(obs[0]):
+                    errs.append(np.linalg.norm(pred[i] - obs))
+    rms = float(np.sqrt((np.asarray(errs) ** 2).mean()))
+    assert len(errs) > 200
+    # The reference pipeline's own marker RMS on this data is ~1-2 cm;
+    # our FK on their poses must land in the same regime.
+    assert rms < 0.05, f"FK disagrees with the reference solution: {rms} m"
