@@ -50,6 +50,8 @@ def dims(world: World, wrt: WithRespectTo) -> int:
         "GROUP_MASSES": nb,
         "GROUP_COMS": 3 * nb,
         "GROUP_INERTIAS": 9 * nb,
+        "GROUP_SCALES": 3 * nb,
+        "LINEARIZED_MASSES": 4 * nb,
     }[wrt.name]
 
 
@@ -97,5 +99,34 @@ def jacobian_wrt(
         J = jax.jacrev(
             lambda I: f(q, v, control, {**body_params, "inertias": I})
         )(body_params["inertias"])
+        return J.reshape(J.shape[0], -1)
+    if wrt is GROUP_SCALES:
+        nb = world.num_bodies
+        s0 = body_params.get("scales")
+        if s0 is None:
+            s0 = jnp.ones((nb, 3), dtype=q.dtype)
+        J = jax.jacrev(
+            lambda sc: f(q, v, control, {**body_params, "scales": sc})
+        )(s0)
+        return J.reshape(J.shape[0], -1)
+    if wrt is LINEARIZED_MASSES:
+        # Reference parity: WithRespectToLinearizedMasses
+        # (dart/neural/WithRespectToMass.hpp) — theta = [m_b; m_b * com_b]
+        # per body (mass + first mass moment), the parameterization in
+        # which inverse dynamics is LINEAR (convex mass fitting).
+        m0 = body_params["masses"]
+        c0 = body_params["coms"]
+        theta0 = jnp.concatenate(
+            [m0[:, None], m0[:, None] * c0], axis=1
+        )  # (nb, 4)
+
+        def g(theta):
+            m = theta[:, 0]
+            coms = theta[:, 1:] / jnp.maximum(m[:, None], 1e-12)
+            return f(
+                q, v, control, {**body_params, "masses": m, "coms": coms}
+            )
+
+        J = jax.jacrev(g)(theta0)
         return J.reshape(J.shape[0], -1)
     raise NotImplementedError(wrt)

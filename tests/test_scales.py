@@ -77,7 +77,6 @@ def test_scale_jacobians_on_snapshot():
         w, jnp.asarray([0.1, 0.4, 0.2, -0.3]), jnp.asarray([0.5, 0.1]),
         scales=scales,
     )
-    Jس = None
     J_s = np.asarray(snap.get_scale_vel_jacobian())
     assert J_s.shape == (2, sk.num_bodies, 3)
     assert np.abs(J_s).max() > 0, "scale sensitivity must be nonzero"
@@ -181,3 +180,37 @@ def test_symmetry_group_builder():
     ex = g.expand(jnp.asarray([[2.0, 2.0, 2.0], [1.0, 1.0, 1.0]]))
     # femur pair shares one scale regardless of group numbering.
     np.testing.assert_allclose(np.asarray(ex[1]), np.asarray(ex[2]))
+
+
+def test_with_respect_to_scales_and_linearized_masses():
+    """jacobian_wrt dispatch covers GROUP_SCALES and LINEARIZED_MASSES
+    (WithRespectTo.hpp:62-75 / WithRespectToMass.hpp parity)."""
+    from nimblephysics_tpu.neural import with_respect_to as wrt
+    from nimblephysics_tpu.dynamics.skeleton import (
+        default_body_params,
+        inverse_dynamics,
+    )
+
+    sk = double_pendulum()
+    w = _world(sk)
+    q = jnp.asarray([0.4, -0.7])
+    v = jnp.asarray([0.5, 0.9])
+    u = jnp.asarray([0.3, -0.2])
+
+    def f(q_, v_, u_, bp):
+        return inverse_dynamics(sk, q_, v_, u_, body_params=bp)
+
+    bp = default_body_params(sk)
+    J_s = wrt.jacobian_wrt(w, f, wrt.GROUP_SCALES, q, v, u, bp)
+    assert J_s.shape == (2, wrt.dims(w, wrt.GROUP_SCALES))
+    J_lm = wrt.jacobian_wrt(w, f, wrt.LINEARIZED_MASSES, q, v, u, bp)
+    assert J_lm.shape == (2, wrt.dims(w, wrt.LINEARIZED_MASSES))
+    assert np.abs(np.asarray(J_lm)).max() > 0
+    # Linearity check: ID is LINEAR in theta = [m; m*com] -> the Jacobian
+    # is constant in theta along the mass direction.
+    m0 = bp["masses"]
+    bp2 = {**bp, "masses": m0 * 1.7}
+    J_lm2 = wrt.jacobian_wrt(w, f, wrt.LINEARIZED_MASSES, q, v, u, bp2)
+    np.testing.assert_allclose(
+        np.asarray(J_lm), np.asarray(J_lm2), atol=1e-9
+    )
