@@ -46,6 +46,10 @@ from nimblephysics_tpu.biomechanics.dynamics_fitter import (
     PlateFitResult,
 )
 from nimblephysics_tpu.biomechanics.marker_fixer import clean_marker_traces
+from nimblephysics_tpu.biomechanics.marker_labeller import (
+    MarkerLabeller,
+    build_traces,
+)
 from nimblephysics_tpu.biomechanics.scale_groups import ScaleGroups
 from nimblephysics_tpu.biomechanics.b3d_writer import (
     write_b3d_reference_format,

@@ -457,3 +457,76 @@ def test_b3d_poses_fk_matches_observed_markers():
     # The reference pipeline's own marker RMS on this data is ~1-2 cm;
     # our FK on their poses must land in the same regime.
     assert rms < 0.05, f"FK disagrees with the reference solution: {rms} m"
+
+
+def test_marker_labeller_recovers_identities():
+    """Unlabeled shuffled point clouds -> trace building -> beam-search
+    labelling (MarkerLabeller/MarkerBeamSearch parity): identities
+    recovered on a synthetic swinging chain with per-frame shuffling and
+    a ghost marker."""
+    from nimblephysics_tpu.biomechanics.marker_labeller import (
+        MarkerLabeller,
+        build_traces,
+    )
+    from nimblephysics_tpu.biomechanics.scaled_fk import (
+        marker_table,
+        marker_world_positions,
+    )
+
+    sk = Skeleton("chain")
+    a = sk.add_joint_and_body(
+        REVOLUTE, parent=-1, name="upper", axis=[0, 1, 0],
+        T_cj=np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0.25], [0, 0, 0, 1.0]]
+        ),
+    )
+    sk.add_joint_and_body(
+        REVOLUTE, parent=a, name="lower", axis=[0, 1, 0],
+        T_pj=np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -0.25], [0, 0, 0, 1.0]]
+        ),
+        T_cj=np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0.25], [0, 0, 0, 1.0]]
+        ),
+    )
+    sk.add_marker("u1", 0, [0.06, 0.0, 0.1])
+    sk.add_marker("u2", 0, [-0.06, 0.0, -0.05])
+    sk.add_marker("l1", 1, [0.06, 0.0, 0.1])
+    sk.add_marker("l2", 1, [0.0, 0.06, -0.1])
+    names, bodies, offsets, _ = marker_table(sk)
+
+    T = 40
+    dt = 0.01
+    ts = np.arange(T) * dt
+    poses = np.stack(
+        [0.8 * np.sin(2 * np.pi * ts), 0.6 * np.cos(3 * ts)], axis=1
+    )
+    rng = np.random.RandomState(0)
+    clouds = []
+    truth = np.zeros((T, len(names), 3))
+    for t in range(T):
+        pts = np.asarray(
+            marker_world_positions(
+                sk, jnp.asarray(poses[t]), bodies, jnp.asarray(offsets)
+            )
+        )
+        truth[t] = pts
+        cloud = list(pts + 0.002 * rng.randn(*pts.shape))
+        cloud.append(np.array([1.5, 1.5, 1.5]) + 0.01 * rng.randn(3))  # ghost
+        rng.shuffle(cloud)  # drop identities
+        clouds.append(np.asarray(cloud))
+
+    traces = build_traces(clouds, dt)
+    long_traces = [tr for tr in traces if len(tr.frames) > 30]
+    # 4 markers + 1 ghost; close crossings may fragment one trace (the
+    # beam labeller re-joins fragments by assigning both to the marker).
+    assert len(long_traces) >= 4, f"{len(long_traces)} long traces"
+
+    labeller = MarkerLabeller(sk)
+    labeled, assigned = labeller.label(clouds, poses, dt=dt)
+    # Every true marker recovered at (nearly) every frame, ghosts dropped.
+    for m, n in enumerate(names):
+        seen = np.isfinite(labeled[:, m, 0])
+        assert seen.mean() > 0.9, f"marker {n} only {seen.mean():.0%}"
+        err = np.linalg.norm(labeled[seen, m] - truth[seen, m], axis=1)
+        assert err.max() < 0.02, f"marker {n} mislabeled: {err.max()}"
