@@ -54,3 +54,7 @@ from nimblephysics_tpu.biomechanics.scale_groups import ScaleGroups
 from nimblephysics_tpu.biomechanics.b3d_writer import (
     write_b3d_reference_format,
 )
+from nimblephysics_tpu.biomechanics.streaming import (
+    StreamingIK,
+    StreamingMocapLab,
+)

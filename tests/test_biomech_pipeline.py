@@ -530,3 +530,80 @@ def test_marker_labeller_recovers_identities():
         assert seen.mean() > 0.9, f"marker {n} only {seen.mean():.0%}"
         err = np.linalg.norm(labeled[seen, m] - truth[seen, m], axis=1)
         assert err.max() < 0.02, f"marker {n} mislabeled: {err.max()}"
+
+
+def test_streaming_ik_tracks_motion():
+    """StreamingIK (StreamingIK.hpp parity): warm-started incremental GN
+    tracks a moving chain from labeled AND unlabeled marker frames."""
+    from nimblephysics_tpu.biomechanics.streaming import StreamingIK
+    from nimblephysics_tpu.biomechanics.scaled_fk import (
+        marker_table,
+        marker_world_positions,
+    )
+
+    sk = _marker_chain()
+    names, bodies, offsets, _ = marker_table(sk)
+    ik = StreamingIK(sk, gn_steps=4)
+    rng = np.random.RandomState(0)
+    T = 30
+    qs = np.cumsum(0.04 * rng.randn(T, sk.num_dofs), axis=0)
+    errs = []
+    for t in range(T):
+        mk = np.asarray(
+            marker_world_positions(
+                sk, jnp.asarray(qs[t]), bodies, jnp.asarray(offsets)
+            )
+        )
+        # Alternate labeled and unlabeled (shuffled) frames.
+        if t % 2 == 0:
+            pose = ik.solve_blocking(t * 0.01, mk, labeled=True)
+        else:
+            cloud = mk.copy()
+            rng.shuffle(cloud)
+            pose = ik.solve_blocking(t * 0.01, cloud, labeled=False)
+        errs.append(np.abs(pose - qs[t]).max())
+    assert np.asarray(errs[3:]).max() < 0.05, max(errs[3:])
+
+
+def test_streaming_mocap_lab_over_socket():
+    """StreamingMocapLab: line-JSON frames over TCP drive the background
+    IK solver (the CortexStreaming transport role, open protocol)."""
+    import json
+    import socket
+    import time as _time
+
+    from nimblephysics_tpu.biomechanics.streaming import StreamingMocapLab
+    from nimblephysics_tpu.biomechanics.scaled_fk import (
+        marker_table,
+        marker_world_positions,
+    )
+
+    sk = _marker_chain()
+    names, bodies, offsets, _ = marker_table(sk)
+    lab = StreamingMocapLab(sk, gn_steps=3)
+    port = lab.serve()
+    poses = []
+    lab.ik.register_pose_listener(lambda t, q: poses.append((t, q.copy())))
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=5) as c:
+            q_true = np.asarray([0.2, 0.1, -0.1, 0.15, 0.05, 0.1])
+            mk = np.asarray(
+                marker_world_positions(
+                    sk, jnp.asarray(q_true), bodies, jnp.asarray(offsets)
+                )
+            )
+            for t in range(8):
+                c.sendall(
+                    (json.dumps(
+                        {"t": t * 0.01, "points": mk.tolist(),
+                         "labeled": True}
+                    ) + "\n").encode()
+                )
+            deadline = _time.time() + 20
+            while lab.ik.frames_solved < 8 and _time.time() < deadline:
+                _time.sleep(0.05)
+    finally:
+        lab.stop()
+    assert lab.ik.frames_solved >= 8
+    assert len(poses) >= 8
+    assert np.abs(poses[-1][1] - np.asarray(q_true)).max() < 0.05
