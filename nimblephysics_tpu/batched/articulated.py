@@ -35,7 +35,9 @@ _CONST_S_TYPES = (
     J.WELD,
 )
 
-SUPPORTED_TYPES = _CONST_S_TYPES + (J.BALL, J.FREE, J.UNIVERSAL, J.PLANAR)
+SUPPORTED_TYPES = _CONST_S_TYPES + (
+    J.BALL, J.FREE, J.UNIVERSAL, J.PLANAR, J.EULER, J.EULER_FREE
+)
 
 
 def _skew_np(a):
@@ -217,7 +219,27 @@ def _joint_Q(jp: _JointPlan, qj, dtype):
             + bl.const(a1, dtype) * qj[1][None, :]
         )
         return R, p
+    if t in (J.EULER, J.EULER_FREE):
+        R = _euler_R(jp.spec.euler_order, qj, dtype)
+        if t == J.EULER:
+            return R, jnp.zeros((3, qj.shape[-1]), dtype=dtype)
+        return R, qj[3:]
     raise NotImplementedError(t)
+
+
+_AXIS_VEC = {"x": np.array([1.0, 0, 0]), "y": np.array([0, 1.0, 0]),
+             "z": np.array([0, 0, 1.0])}
+
+
+def _euler_R(order, qj, dtype):
+    """Intrinsic Euler composition of static-axis Rodrigues rotations."""
+    R = None
+    for i, ax in enumerate(order.lower()):
+        a = _AXIS_VEC[ax]
+        K = _skew_np(a)
+        Ri = bl.rodrigues(K, K @ K, qj[i], dtype)
+        R = Ri if R is None else bl.mm(R, Ri)
+    return R
 
 
 def _joint_S(jp: _JointPlan, qj, dtype):
@@ -260,6 +282,30 @@ def _joint_S(jp: _JointPlan, qj, dtype):
         top = jnp.stack([zv, zv, nw], axis=1)
         bot = jnp.stack([v0, v1, zv], axis=1)
         S = jnp.concatenate([top, bot], axis=0)
+    elif t in (J.EULER, J.EULER_FREE):
+        # Body angular Jacobian of intrinsic R = R1 R2 R3: column i =
+        # (R_{i+1..3})^T a_i (later rotations rotate earlier axes back).
+        order = jp.spec.euler_order.lower()
+        cols = []
+        for i, ax in enumerate(order):
+            a = jnp.broadcast_to(bl.const(_AXIS_VEC[ax], dtype), (3, B))
+            c = a
+            for k2 in range(i + 1, 3):
+                ak = _AXIS_VEC[order[k2]]
+                Kk = _skew_np(ak)
+                c = bl.mv(bl.rodrigues(Kk, Kk @ Kk, -qj[k2], dtype), c)
+            cols.append(c)
+        w = jnp.stack(cols, axis=1)  # (3, 3, B)
+        if t == J.EULER:
+            S = jnp.concatenate(
+                [w, jnp.zeros((3, 3, B), dtype=dtype)], axis=0
+            )
+        else:
+            Rt = bl.transpose(_euler_R(order, qj, dtype))
+            z33b = jnp.zeros((3, 3, B), dtype=dtype)
+            top = jnp.concatenate([w, z33b], axis=1)
+            bot = jnp.concatenate([z33b, Rt], axis=1)
+            S = jnp.concatenate([top, bot], axis=0)
     else:
         raise NotImplementedError(t)
     return bl.mm(bl.const(jp.Ad_cj, dtype), S)

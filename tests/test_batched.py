@@ -138,3 +138,45 @@ def test_batched_state_step_and_actions():
     out = beng.state_step(state, action)
     assert out.shape == (2 * nv, B)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_batched_euler_joints_match():
+    """EULER / EULER_FREE joints in the batched engine match the vmapped
+    reference-parity engine (transforms, dynamics, integration)."""
+    from nimblephysics_tpu.dynamics import Skeleton
+    from nimblephysics_tpu.simulation.world import World
+
+    sk = Skeleton("euler_chain")
+    a = sk.add_joint_and_body(
+        "eulerfree", parent=-1, name="base", euler_order="zyx",
+        mass=1.2, inertia=np.eye(3) * 0.02,
+    )
+    sk.add_joint_and_body(
+        "euler", parent=a, name="tip", euler_order="xyz",
+        T_pj=np.array(
+            [[1, 0, 0, 0.1], [0, 1, 0, 0], [0, 0, 1, -0.2], [0, 0, 0, 1.0]]
+        ),
+        mass=0.7, inertia=np.eye(3) * 0.01,
+    )
+    w = World(gravity=(0.0, 0.0, -9.81), time_step=0.001)
+    w.add_skeleton(sk)
+    eng = Engine(w)
+    beng = BatchedEngine(w)
+    B = 3
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(0.4 * rng.randn(9, B))
+    v = jnp.asarray(0.4 * rng.randn(9, B))
+    u = jnp.asarray(0.2 * rng.randn(9, B))
+
+    def one(qq, vv, uu):
+        r = eng.step(qq, vv, uu)
+        return r.q, r.v
+
+    qo, vo = jax.jit(jax.vmap(one))(q.T, v.T, u.T)
+    res = beng.step(q, v, u)
+    np.testing.assert_allclose(
+        np.asarray(res.q).T, np.asarray(qo), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.v).T, np.asarray(vo), atol=1e-9
+    )
