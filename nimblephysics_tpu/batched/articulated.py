@@ -36,7 +36,7 @@ _CONST_S_TYPES = (
 )
 
 SUPPORTED_TYPES = _CONST_S_TYPES + (
-    J.BALL, J.FREE, J.UNIVERSAL, J.PLANAR, J.EULER, J.EULER_FREE
+    J.BALL, J.FREE, J.UNIVERSAL, J.PLANAR, J.EULER, J.EULER_FREE, J.CUSTOM
 )
 
 
@@ -224,6 +224,30 @@ def _joint_Q(jp: _JointPlan, qj, dtype):
         if t == J.EULER:
             return R, jnp.zeros((3, qj.shape[-1]), dtype=dtype)
         return R, qj[3:]
+    if t == J.CUSTOM:
+        # Spline-driven OpenSim joint (dynamics/joints.py CUSTOM parity):
+        # R = prod_i exp(rot_axes[i] * f_i), p = sum_i trans_axes[i] * f_i,
+        # with each f_i an elementwise spline of one coordinate -> all
+        # batched ops on (B,) angles.
+        cj = jp.spec.custom
+        B_ = qj.shape[-1]
+        zero = jnp.zeros((B_,), dtype=dtype)
+        vals = [
+            fn(qj[d]) if d >= 0 else fn(zero) + zero
+            for fn, d in zip(cj.functions, cj.drives)
+        ]
+        R = None
+        for i in range(3):
+            a = np.asarray(cj.rot_axes[i], dtype=np.float64)
+            K = _skew_np(a)
+            Ri = bl.rodrigues(K, K @ K, vals[i] + zero, dtype)
+            R = Ri if R is None else bl.mm(R, Ri)
+        p = jnp.zeros((3, B_), dtype=dtype)
+        for i in range(3):
+            p = p + bl.const(cj.trans_axes[i], dtype) * (
+                vals[3 + i] + zero
+            )[None, :]
+        return R, p
     raise NotImplementedError(t)
 
 
@@ -306,6 +330,27 @@ def _joint_S(jp: _JointPlan, qj, dtype):
             top = jnp.concatenate([w, z33b], axis=1)
             bot = jnp.concatenate([z33b, Rt], axis=1)
             S = jnp.concatenate([top, bot], axis=0)
+    elif t == J.CUSTOM:
+        # Generic exact body Jacobian via per-dof jvp of the batched Q:
+        # column j = [vee(R^T dR/dq_j); R^T dp/dq_j].
+        nd = jp.num_dofs
+
+        def Q_of(qq):
+            return _joint_Q(jp, qq, dtype)
+
+        R0, p0 = Q_of(qj)
+        Rt0 = bl.transpose(R0)
+        cols_w, cols_v = [], []
+        for jdx in range(nd):
+            tang = jnp.zeros_like(qj).at[jdx].set(1.0)
+            (_, _), (dR, dp) = jax.jvp(Q_of, (qj,), (tang,))
+            M = bl.mm(Rt0, dR)  # (3, 3, B) ~ skew(w)
+            w = jnp.stack([M[2, 1], M[0, 2], M[1, 0]])
+            cols_w.append(w)
+            cols_v.append(bl.mv(Rt0, dp))
+        S = jnp.concatenate(
+            [jnp.stack(cols_w, axis=1), jnp.stack(cols_v, axis=1)], axis=0
+        )
     else:
         raise NotImplementedError(t)
     return bl.mm(bl.const(jp.Ad_cj, dtype), S)

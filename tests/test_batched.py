@@ -180,3 +180,53 @@ def test_batched_euler_joints_match():
     np.testing.assert_allclose(
         np.asarray(res.v).T, np.asarray(vo), atol=1e-9
     )
+
+
+def test_batched_custom_joint_matches():
+    """Spline-driven CUSTOM joints (OpenSim) in the batched engine match
+    the vmapped engine (generic jvp body Jacobian)."""
+    from nimblephysics_tpu.dynamics import Skeleton
+    from nimblephysics_tpu.dynamics.joints import CustomJointDef
+    from nimblephysics_tpu.math import splines
+    from nimblephysics_tpu.simulation.world import World
+
+    cj = CustomJointDef(
+        n_dofs=2,
+        rot_axes=np.eye(3),
+        trans_axes=np.eye(3),
+        functions=(
+            splines.linear(1.0, 0.0),       # rot x = q0
+            splines.simm_spline(
+                np.linspace(-1.5, 1.5, 7),
+                0.3 * np.sin(np.linspace(-1.5, 1.5, 7)),
+            ),                               # rot y = spline(q1)
+            splines.constant(0.0),
+            splines.linear(0.2, 0.0),        # trans x = 0.2 q0
+            splines.constant(0.05),
+            splines.constant(0.0),
+        ),
+        drives=(0, 1, -1, 0, -1, -1),
+    )
+    sk = Skeleton("osimish")
+    sk.add_joint_and_body(
+        "custom", parent=-1, name="seg", custom=cj,
+        mass=1.1, inertia=np.eye(3) * 0.02,
+    )
+    w = World(gravity=(0.0, 0.0, -9.81), time_step=0.001)
+    w.add_skeleton(sk)
+    eng = Engine(w)
+    beng = BatchedEngine(w)
+    B = 3
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(0.5 * rng.randn(2, B))
+    v = jnp.asarray(0.5 * rng.randn(2, B))
+    u = jnp.asarray(0.2 * rng.randn(2, B))
+
+    def one(qq, vv, uu):
+        r = eng.step(qq, vv, uu)
+        return r.q, r.v
+
+    qo, vo = jax.jit(jax.vmap(one))(q.T, v.T, u.T)
+    res = beng.step(q, v, u)
+    np.testing.assert_allclose(np.asarray(res.q).T, np.asarray(qo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.v).T, np.asarray(vo), atol=1e-9)
