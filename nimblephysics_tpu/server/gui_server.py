@@ -49,6 +49,23 @@ class NimbleGUI:
         nv = self.world.num_dofs
         self.state.render_world(self.world, np.asarray(state)[:nv])
 
+    def display_soft_state(
+        self, softs, prefix: str = "soft", radius: float = 0.01,
+        color=(0.9, 0.6, 0.4, 1.0),
+    ) -> None:
+        """Render soft-body particle clouds (dynamics/soft.SoftState
+        list) as small spheres — the SoftMeshShape display analog."""
+        for si, st in enumerate(softs):
+            pos = np.asarray(st.pos)
+            for pi in range(len(pos)):
+                key = f"{prefix}{si}_{pi}"
+                if key in self.state._objects:
+                    self.state.set_object_position(key, pos[pi])
+                else:
+                    self.state.create_sphere(
+                        key, radius, pos[pi], color=color
+                    )
+
     def loop_states(self, states: Sequence[np.ndarray], fps: float = 50.0) -> None:
         """Loop a trajectory of world states (reference: loopStates)."""
         self._looping = True

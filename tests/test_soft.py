@@ -123,3 +123,25 @@ def test_soft_energy_dissipates():
     q, v, softs = _roll(sw, q, v, softs, u, 800)
     ke_end = float(jnp.sum(softs[0].vel ** 2))
     assert ke_end < max(ke_mid, 1e-3) + 1e-6
+
+
+def test_soft_state_renders_in_gui():
+    from nimblephysics_tpu.server.gui_server import NimbleGUI
+
+    w, sw, spec = _world_with_soft()
+    q = jnp.zeros(w.num_dofs).at[5].set(0.2)
+    softs = sw.init_state(q)
+    gui = NimbleGUI(w)
+    gui.display_state(np.concatenate([np.asarray(q), np.zeros(w.num_dofs)]))
+    gui.display_soft_state(softs)
+    import json
+
+    msg = json.loads(gui.state.flush_json())
+    spheres = [c for c in msg["commands"] if c["type"] == "create_sphere"
+               and c["key"].startswith("soft")]
+    assert len(spheres) == spec.num_points
+    # Second call updates positions instead of recreating.
+    gui.display_soft_state(softs)
+    msg2 = json.loads(gui.state.flush_json())
+    assert all(c["type"] == "set_pos" for c in msg2["commands"]
+               if c["key"].startswith("soft"))
