@@ -219,7 +219,7 @@ class BatchedEngine:
             b_l = -(signs_j * v_pre[dofs]) + jnp.clip(
                 depth_l * cfg.error_reduction_parameter / dt,
                 0.0,
-                cfg.max_error_reduction_velocity,
+                cfg.joint_max_error_reduction_velocity,
             )
             blocks.append(
                 (Jl_b, valid_l, b_l, jnp.zeros((L, B), dtype=dtype))
@@ -253,7 +253,7 @@ class BatchedEngine:
 
         if self.assembler.dyn_rows:
             gamma = cfg.error_reduction_parameter / dt
-            cap = cfg.max_error_reduction_velocity
+            cap = cfg.joint_max_error_reduction_velocity
             for con in self.world.dynamic_constraints:
                 A_, B_b = con["body_a"], con["body_b"]
                 if con["kind"] == "ball":
@@ -280,15 +280,47 @@ class BatchedEngine:
                             jnp.zeros((3, B), dtype=dtype),
                         )
                     )
-                else:  # weld: zero relative world-frame spatial velocity
-                    dmask = anc[A_] - anc[B_b]
-                    Jrow = W * jnp.asarray(dmask, dtype=dtype)[None, :, None]
-                    b_row = -jnp.sum(Jrow * v_pre[None, :, :], axis=1)
+                else:
+                    # weld: 3 orientation + 3 anchor-point rows with ERP
+                    # pose-error feedback (WeldJointConstraint.cpp — the
+                    # violation is log of the relative-transform error
+                    # captured at creation). Parity with the single-world
+                    # assembler (constraint/assembly.py weld branch).
+                    dmask = jnp.asarray(
+                        anc[A_] - anc[B_b], dtype=dtype
+                    )[None, :, None]
+                    Wab = W * dmask
+                    J_rot = Wab[:3]  # (3, nv, B)
+                    rel_b = jnp.broadcast_to(
+                        bl.const(con["rel_rot"], dtype), (3, 3, B)
+                    )
+                    R_e = bl.mm(
+                        bl.mm(R_wb[A_], rel_b), bl.transpose(R_wb[B_b])
+                    )
+                    err_rot = bl.log_so3(R_e)  # (3, B)
+                    b_rot = -jnp.sum(
+                        J_rot * v_pre[None, :, :], axis=1
+                    ) - jnp.clip(gamma * err_rot, -cap, cap)
+                    pA = bl.mv(
+                        R_wb[A_], bl.const(con["offset_a"], dtype)
+                    ) + p_wb[A_]
+                    pB = bl.mv(
+                        R_wb[B_b], bl.const(con["offset_b"], dtype)
+                    ) + p_wb[B_b]
+                    WA = W * jnp.asarray(anc[A_], dtype=dtype)[None, :, None]
+                    WB = W * jnp.asarray(anc[B_b], dtype=dtype)[None, :, None]
+                    Jp = (WA[3:] - bl.cross_cols(pA, WA[:3])) - (
+                        WB[3:] - bl.cross_cols(pB, WB[:3])
+                    )
+                    err_p = pA - pB
+                    b_p = -jnp.sum(
+                        Jp * v_pre[None, :, :], axis=1
+                    ) - jnp.clip(gamma * err_p, -cap, cap)
                     blocks.append(
                         (
-                            Jrow,
+                            jnp.concatenate([J_rot, Jp], axis=0),
                             jnp.ones((6, B), dtype=bool),
-                            b_row,
+                            jnp.concatenate([b_rot, b_p], axis=0),
                             jnp.zeros((6, B), dtype=dtype),
                         )
                     )

@@ -99,7 +99,7 @@ def _apgd_kernel(*refs, r: int, iterations: int, cfm: float):
     def proj(y):
         zn = jnp.where(isf > 0, y, jnp.clip(y, lo, hi))
         # bound = mu * max(Sel @ zn, 0): the findex gather as a matmul.
-        zsel = jnp.dot(Sel, zn, preferred_element_type=jnp.float32)
+        zsel = jnp.dot(Sel, zn, preferred_element_type=zn.dtype)
         bound = mu * jnp.maximum(zsel, 0.0)
         return jnp.where(isf > 0, jnp.clip(y, -bound, bound), zn)
 

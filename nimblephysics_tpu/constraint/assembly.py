@@ -281,7 +281,7 @@ class ConstraintAssembler:
             b_l = -(Jl @ v_pre) + jnp.clip(
                 depth_l * cfg.error_reduction_parameter / dt,
                 0.0,
-                cfg.max_error_reduction_velocity,
+                cfg.joint_max_error_reduction_velocity,
             )
             rows.append(Jl)
             valids.append(valid_l)
@@ -316,7 +316,7 @@ class ConstraintAssembler:
             from nimblephysics_tpu.math import lie
 
             gamma = cfg.error_reduction_parameter / dt
-            cap = cfg.max_error_reduction_velocity
+            cap = cfg.joint_max_error_reduction_velocity
             for con in self.world.dynamic_constraints:
                 A_, B_ = con["body_a"], con["body_b"]
                 if con["kind"] == "ball":
@@ -339,12 +339,35 @@ class ConstraintAssembler:
                     valids.append(jnp.ones(3, dtype=bool))
                     b_parts.append(b_row)
                     mu_parts.append(jnp.zeros(3, dtype=dtype))
-                else:  # weld: zero relative world-frame spatial velocity
-                    Jrow = J_world[A_] - J_world[B_]
-                    b_row = -(Jrow @ v_pre)
-                    rows.append(Jrow)
+                else:
+                    # weld: 3 orientation rows + 3 anchor-point rows with
+                    # ERP pose-error feedback (WeldJointConstraint.cpp —
+                    # the violation is the log of the relative-transform
+                    # error captured at creation).
+                    RA = T_wb[A_][:3, :3]
+                    RB = T_wb[B_][:3, :3]
+                    rel = jnp.asarray(con["rel_rot"], dtype=dtype)
+                    err_rot = lie.log_map_rot(RA @ rel @ RB.T)
+                    J_rot = J_world[A_][:3] - J_world[B_][:3]
+                    b_rot = -(J_rot @ v_pre) - jnp.clip(
+                        gamma * err_rot, -cap, cap
+                    )
+                    pA = lie.transform_point(
+                        T_wb[A_], jnp.asarray(con["offset_a"], dtype=dtype)
+                    )
+                    pB = lie.transform_point(
+                        T_wb[B_], jnp.asarray(con["offset_b"], dtype=dtype)
+                    )
+
+                    def pjac_w(Jw, pt):
+                        return Jw[3:] - lie.skew(pt) @ Jw[:3]
+
+                    Jp = pjac_w(J_world[A_], pA) - pjac_w(J_world[B_], pB)
+                    err_p = pA - pB
+                    b_p = -(Jp @ v_pre) - jnp.clip(gamma * err_p, -cap, cap)
+                    rows.append(jnp.concatenate([J_rot, Jp], axis=0))
                     valids.append(jnp.ones(6, dtype=bool))
-                    b_parts.append(b_row)
+                    b_parts.append(jnp.concatenate([b_rot, b_p]))
                     mu_parts.append(jnp.zeros(6, dtype=dtype))
 
         J = jnp.concatenate(rows, axis=0)

@@ -177,7 +177,9 @@ class SoftWorld:
             ),
             dtype=dtype,
         )
-        ln = jnp.linalg.norm(d + 1e-12, axis=1)
+        # Max-guarded norm: guard the NORM, not the components (adding eps
+        # per component biases degenerate edges toward (1,1,1)).
+        ln = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-24))
         dirn = d / ln[:, None]
         rel_v = state.vel[e[:, 1]] - state.vel[e[:, 0]]
         fmag = spec.edge_stiffness * (ln - rest) + (
@@ -208,10 +210,11 @@ class SoftWorld:
             elif shape.shape_type == SH.SPHERE:
                 r = float(np.asarray(shape.size).reshape(-1)[0])
                 delta = pos - T[:3, 3]
-                dist = jnp.linalg.norm(delta + 1e-12, axis=1)
+                dist = jnp.sqrt(
+                    jnp.maximum(jnp.sum(delta * delta, axis=1), 1e-24)
+                )
                 n = delta / dist[:, None]
                 depth = r - dist
-                n = jnp.where(depth[:, None] > 0, n, n)
             else:  # BOX
                 half = jnp.asarray(shape.size, dtype=dtype) / 2.0
                 local = (pos - T[:3, 3]) @ T[:3, :3]

@@ -169,7 +169,7 @@ function handle(cmd){
   else if(t==='delete'){delete objs[cmd.key];}
   else if(t==='create_text'||t==='set_text'){hud.textContent=cmd.contents||'';}
   else if(t==='request_screenshot'){
-    ws.send(JSON.stringify({type:'screenshot', data:cv.toDataURL('image/png')}));}
+    ws.send(JSON.stringify({type:'screenshot', id:cmd.id, data:cv.toDataURL('image/png')}));}
 }
 const hud=document.getElementById('hud');
 const ws=new WebSocket(`ws://${location.hostname}:WS_PORT`);
@@ -233,8 +233,14 @@ class GUIWebsocketServer:
         self.on_keydown = Signal()
         self.on_drag = Signal()
         self._keys_down: Set[str] = set()
+        # Screenshot plumbing: a mutex serializes concurrent requests and
+        # each request carries an id echoed by the viewer, so a stale late
+        # reply from a prior timed-out request can never be delivered as
+        # the answer to a newer one (round-2 advisory).
+        self._screenshot_lock = threading.Lock()
         self._screenshot_event = threading.Event()
         self._screenshot_data: Optional[bytes] = None
+        self._screenshot_id = 0
         self.ws_port: Optional[int] = None
         self.http_port: Optional[int] = None
 
@@ -255,12 +261,15 @@ class GUIWebsocketServer:
 
     def request_screenshot(self, timeout: float = 5.0) -> Optional[bytes]:
         """Ask a connected viewer for a PNG of its canvas (blocking)."""
-        self._screenshot_event.clear()
-        self._screenshot_data = None
-        self.state.queue_raw({"type": "request_screenshot"})
-        if self._screenshot_event.wait(timeout):
-            return self._screenshot_data
-        return None
+        with self._screenshot_lock:
+            self._screenshot_id += 1
+            rid = self._screenshot_id
+            self._screenshot_event.clear()
+            self._screenshot_data = None
+            self.state.queue_raw({"type": "request_screenshot", "id": rid})
+            if self._screenshot_event.wait(timeout):
+                return self._screenshot_data
+            return None
 
     # -- serving --------------------------------------------------------------
 
@@ -320,7 +329,11 @@ class GUIWebsocketServer:
                         )
                     elif et == "screenshot":
                         data = ev.get("data", "")
-                        if data.startswith("data:image/png;base64,"):
+                        if ev.get(
+                            "id"
+                        ) == self._screenshot_id and data.startswith(
+                            "data:image/png;base64,"
+                        ):
                             self._screenshot_data = base64.b64decode(
                                 data.split(",", 1)[1]
                             )

@@ -53,6 +53,11 @@ class SolverConfig:
     error_allowance: float = 0.0
     error_reduction_parameter: float = 0.01
     max_error_reduction_velocity: float = 1e-3
+    # Joint-family constraints (ball/weld/joint-limit) stabilize much more
+    # aggressively than contacts in the reference: DART_MAX_ERV = 1e+1 in
+    # JointConstraint.cpp:42 / JointLimitConstraint.cpp:45 vs 1e-3 in
+    # ContactConstraint.cpp:47.
+    joint_max_error_reduction_velocity: float = 10.0
     bouncing_velocity_threshold: float = 0.1
     max_bouncing_velocity: float = 100.0
     friction_threshold: float = 1e-3
@@ -130,7 +135,10 @@ class World:
         # NameManager keeps skeleton names unique; Signal notifies
         # observers (GUI servers re-render on it) — reference parity:
         # World's name manager + change signals.
-        self.skeleton_names.add_name(skel.name, skel)
+        # The NameManager may uniquify on collision; the issued name is
+        # assigned back so skel.name always matches the registry key
+        # (reference NameManager renames the managed object).
+        skel.name = self.skeleton_names.add_name(skel.name, skel)
         self.skeletons.append(skel)
         self.on_skeleton_added.raise_signal(skel)
         return len(self.skeletons) - 1
@@ -150,11 +158,33 @@ class World:
             )
         )
 
-    def add_weld_joint_constraint(self, body_a: int, body_b: int) -> None:
-        """Lock the relative spatial velocity of two bodies (reference:
-        constraint::WeldJointConstraint)."""
+    def add_weld_joint_constraint(
+        self, body_a: int, body_b: int, at_positions=None
+    ) -> None:
+        """Weld two bodies in their relative pose at ``at_positions``
+        (default: zero pose). Reference: constraint::WeldJointConstraint
+        captures the relative transform at creation and feeds pose error
+        back into the constraint rhs (WeldJointConstraint.cpp), so welded
+        pairs do not drift apart under sustained load."""
+        import jax.numpy as jnp
+
+        q0 = (
+            np.zeros(self.num_dofs)
+            if at_positions is None
+            else np.asarray(at_positions, dtype=np.float64)
+        )
+        T = np.asarray(world_fk(self, jnp.asarray(q0)))
+        TA, TB = T[int(body_a)], T[int(body_b)]
+        anchor = TB[:3, 3]
         self.dynamic_constraints.append(
-            dict(kind="weld", body_a=int(body_a), body_b=int(body_b))
+            dict(
+                kind="weld",
+                body_a=int(body_a),
+                body_b=int(body_b),
+                rel_rot=TA[:3, :3].T @ TB[:3, :3],
+                offset_a=TA[:3, :3].T @ (anchor - TA[:3, 3]),
+                offset_b=TB[:3, :3].T @ (anchor - TB[:3, 3]),
+            )
         )
 
     def set_actuator_type(

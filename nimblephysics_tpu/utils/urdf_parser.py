@@ -17,6 +17,7 @@ behavior; a root link literally named "world" welds its children).
 from __future__ import annotations
 
 import os
+import warnings
 import xml.etree.ElementTree as ET
 from typing import Dict, List, Optional, Tuple
 
@@ -126,7 +127,10 @@ def _load_mesh_asset(fname: str, base_dir: str, scale):
         if os.path.exists(c):
             try:
                 return load_mesh(c, scale=scale)
-            except Exception:
+            except ValueError as e:
+                # Corrupt/unsupported mesh: drop this link's collision
+                # geometry, but never silently.
+                warnings.warn(f"failed to load mesh asset {c!r}: {e}")
                 return None, None
     return None, None
 

@@ -99,6 +99,7 @@ def test_ws_events_roundtrip(server):
                     if c.get("type") == "request_screenshot":
                         ws.send(json.dumps({
                             "type": "screenshot",
+                            "id": c.get("id"),
                             "data": "data:image/png;base64," + png,
                         }))
                         return
