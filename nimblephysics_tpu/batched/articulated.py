@@ -35,9 +35,19 @@ _CONST_S_TYPES = (
     J.WELD,
 )
 
-SUPPORTED_TYPES = _CONST_S_TYPES + (
-    J.BALL, J.FREE, J.UNIVERSAL, J.PLANAR, J.EULER, J.EULER_FREE, J.CUSTOM
+# Joint types whose batched Q/S go through the generic machinery: Q via a
+# lane-vmapped single-joint transform, S via per-dof jvp of Q (exact).
+_GENERIC_TYPES = (
+    J.CUSTOM,
+    J.ELLIPSOID_JOINT,
+    J.SCAPULATHORACIC,
+    J.CONSTANT_CURVE,
+    J.CONSTANT_CURVE_INCOMPRESSIBLE,
 )
+
+SUPPORTED_TYPES = _CONST_S_TYPES + (
+    J.BALL, J.FREE, J.UNIVERSAL, J.PLANAR, J.EULER, J.EULER_FREE,
+) + _GENERIC_TYPES
 
 
 def _skew_np(a):
@@ -83,7 +93,10 @@ class _JointPlan:
     R_ci: np.ndarray  # T_cj^-1 rotation
     p_ci: np.ndarray
     Ad_cj: np.ndarray  # 6x6 Ad(T_cj)
+    R_cj: np.ndarray  # T_cj rotation (for scaled-anchor variants)
+    p_cj: np.ndarray  # T_cj translation (scaled by the child body scale)
     S_const: Optional[np.ndarray]  # (6, nd) if constant in q, else None
+    S_local: Optional[np.ndarray] = None  # joint-frame S for const-S types
 
 
 class FlatWorld:
@@ -104,6 +117,7 @@ class FlatWorld:
                     )
                 T_ci = np.linalg.inv(j.T_cj)
                 S_const = None
+                S_local = None
                 if j.joint_type in _CONST_S_TYPES:
                     S_local = np.zeros((6, j.num_dofs))
                     if j.joint_type == J.REVOLUTE:
@@ -132,11 +146,16 @@ class FlatWorld:
                         R_ci=T_ci[:3, :3].copy(),
                         p_ci=T_ci[:3, 3].copy(),
                         Ad_cj=_Ad_np(j.T_cj),
+                        R_cj=j.T_cj[:3, :3].copy(),
+                        p_cj=j.T_cj[:3, 3].copy(),
                         S_const=S_const,
+                        S_local=S_local,
                     )
                 )
             for b in skel.bodies:
                 self.G_body.append(_spatial_inertia_np(b.mass, b.com, b.inertia))
+        # Flat body specs (for body-parameter overrides in the engine).
+        self.body_specs = [b for s in world.skeletons for b in s.bodies]
         self.nb = len(self.joints)
         self.nv = world.num_dofs
 
@@ -248,6 +267,15 @@ def _joint_Q(jp: _JointPlan, qj, dtype):
                 vals[3 + i] + zero
             )[None, :]
         return R, p
+    if t in _GENERIC_TYPES:
+        # Biomech joints (ellipsoid / scapulathoracic / constant-curve ±
+        # incompressible): the single-joint transform lane-vmapped. These
+        # are smooth per-joint small ops — vmap over the trailing axis
+        # lowers to the same batched elementwise XLA as hand-unrolling.
+        T = jax.vmap(
+            lambda qq: J.joint_transform(jp.spec, qq), in_axes=1, out_axes=2
+        )(qj)
+        return T[:3, :3], T[:3, 3]
     raise NotImplementedError(t)
 
 
@@ -266,15 +294,32 @@ def _euler_R(order, qj, dtype):
     return R
 
 
-def _joint_S(jp: _JointPlan, qj, dtype):
+def _scaled_Ad_cj(jp: _JointPlan, s_chi, dtype, B):
+    """Ad(T_cj) with the anchor translation scaled by the child body scale
+    (GROUP_SCALES): [[R, 0], [skew(p*s) R, R]], batched (6, 6, B)."""
+    Rc = jnp.broadcast_to(bl.const(jp.R_cj, dtype), (3, 3, B))
+    p = bl.const(jp.p_cj, dtype) * s_chi  # (3, B)
+    z33 = jnp.zeros((3, 3, B), dtype=dtype)
+    top = jnp.concatenate([Rc, z33], axis=1)
+    bot = jnp.concatenate([bl.mm(bl.skew(p), Rc), Rc], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _joint_S(jp: _JointPlan, qj, dtype, s_chi=None):
     """Child-body-frame relative Jacobian S = Ad(T_cj) S_joint(q).
 
     Returns (6, nd, B) (or a broadcastable (6, nd, 1) constant).
-    Matches dynamics/joints.joint_body_jacobian composed with Ad(T_cj).
+    Matches dynamics/joints.joint_body_jacobian composed with Ad(T_cj);
+    `s_chi` (3, B) applies the child body scale to the T_cj anchor.
     """
     t = jp.spec.joint_type
     if jp.S_const is not None:
-        return bl.const(jp.S_const, dtype)
+        if s_chi is None:
+            return bl.const(jp.S_const, dtype)
+        B = s_chi.shape[-1]
+        return bl.mm(
+            _scaled_Ad_cj(jp, s_chi, dtype, B), bl.const(jp.S_local, dtype)
+        )
     B = qj.shape[-1]
     z33 = jnp.zeros((3, 3, B), dtype=dtype)
     if t == J.BALL:
@@ -330,7 +375,7 @@ def _joint_S(jp: _JointPlan, qj, dtype):
             top = jnp.concatenate([w, z33b], axis=1)
             bot = jnp.concatenate([z33b, Rt], axis=1)
             S = jnp.concatenate([top, bot], axis=0)
-    elif t == J.CUSTOM:
+    elif t in _GENERIC_TYPES:
         # Generic exact body Jacobian via per-dof jvp of the batched Q:
         # column j = [vee(R^T dR/dq_j); R^T dp/dq_j].
         nd = jp.num_dofs
@@ -353,10 +398,12 @@ def _joint_S(jp: _JointPlan, qj, dtype):
         )
     else:
         raise NotImplementedError(t)
-    return bl.mm(bl.const(jp.Ad_cj, dtype), S)
+    if s_chi is None:
+        return bl.mm(bl.const(jp.Ad_cj, dtype), S)
+    return bl.mm(_scaled_Ad_cj(jp, s_chi, dtype, B), S)
 
 
-def _joint_S_dot_dq(jp: _JointPlan, qj, dqj, dtype):
+def _joint_S_dot_dq(jp: _JointPlan, qj, dqj, dtype, s_chi=None):
     """(d/dt S(q)) dq = jvp of q -> S(q) dq along dq (exact, generic).
 
     Zero for constant-S joint types. Reference parity:
@@ -364,19 +411,37 @@ def _joint_S_dot_dq(jp: _JointPlan, qj, dqj, dtype):
     """
     if jp.S_const is not None or jp.num_dofs == 0:
         return jnp.zeros((6, qj.shape[-1]), dtype=dtype)
-    f = lambda qq: bl.mv(_joint_S(jp, qq, dtype), dqj)
+    f = lambda qq: bl.mv(_joint_S(jp, qq, dtype, s_chi=s_chi), dqj)
     return jax.jvp(f, (qj,), (dqj,))[1]
 
 
-def _rel_transform(jp: _JointPlan, qj, dtype):
-    """T_rel = T_pj Q(q) T_cj^-1 batched: returns (R (3,3,B), p (3,B))."""
+def _rel_transform(jp: _JointPlan, qj, dtype, s_par=None, s_chi=None):
+    """T_rel = T_pj Q(q) T_cj^-1 batched: returns (R (3,3,B), p (3,B)).
+
+    s_par/s_chi (3, B): GROUP_SCALES anchor scaling — T_pj's translation
+    scales with the PARENT body, T_cj's with the CHILD (reference:
+    Joint::setParentScale/setChildScale, dart/dynamics/Joint.cpp:1523).
+    """
     Rq, pq = _joint_Q(jp, qj, dtype)
     # Q T_cj^-1   (bl.mv/mm broadcast (.., 1) constants against (.., B))
     R1 = bl.mm(Rq, bl.const(jp.R_ci, dtype))
-    p1 = bl.mv(Rq, bl.const(jp.p_ci, dtype) + jnp.zeros_like(pq)) + pq
+    if s_chi is None:
+        p_ci = bl.const(jp.p_ci, dtype) + jnp.zeros_like(pq)
+    else:
+        # inv(T_cj scaled) translation: -R_cj^T (p_cj * s_child).
+        p_ci = -bl.mv(
+            jnp.broadcast_to(
+                bl.const(jp.R_ci, dtype), (3, 3, s_chi.shape[-1])
+            ),
+            bl.const(jp.p_cj, dtype) * s_chi,
+        )
+    p1 = bl.mv(Rq, p_ci) + pq
     # T_pj (...)
     R = bl.mm(bl.const(jp.R_pj, dtype), R1)
-    p = bl.mv(bl.const(jp.R_pj, dtype), p1) + bl.const(jp.p_pj, dtype)
+    p_pj = bl.const(jp.p_pj, dtype)
+    if s_par is not None:
+        p_pj = p_pj * s_par
+    p = bl.mv(bl.const(jp.R_pj, dtype), p1) + p_pj
     return R, p
 
 
@@ -407,14 +472,21 @@ def _slice_q(fw: FlatWorld, q, jp: _JointPlan):
     return q[jp.q_index : jp.q_index + jp.num_dofs]
 
 
-def fk(fw: FlatWorld, q):
+def fk(fw: FlatWorld, q, scales=None):
     """FK + world Jacobian columns.
 
+    scales: optional (nb, 3, B) per-body GROUP_SCALES anchor scaling.
     Returns (R_wb list[(3,3,B)], p_wb list[(3,B)], W (6, nv, B),
     S_list (child-frame relative Jacobians), rel list[(R, p)]).
     """
     dtype = q.dtype
     B = q.shape[-1]
+
+    def s_of(i):
+        if scales is None or i < 0:
+            return None
+        return jnp.broadcast_to(scales[i], (3, B))
+
     R_wb: List = []
     p_wb: List = []
     rels: List = []
@@ -422,7 +494,9 @@ def fk(fw: FlatWorld, q):
     W_cols: List = [None] * len(fw.joints)
     for bi, jp in enumerate(fw.joints):
         qj = _slice_q(fw, q, jp)
-        Rr, pr = _rel_transform(jp, qj, dtype)
+        Rr, pr = _rel_transform(
+            jp, qj, dtype, s_par=s_of(jp.parent), s_chi=s_of(bi)
+        )
         if jp.parent < 0:
             Rw = jnp.broadcast_to(Rr, (3, 3, B))
             pw = jnp.broadcast_to(pr, (3, B))
@@ -433,7 +507,11 @@ def fk(fw: FlatWorld, q):
         R_wb.append(Rw)
         p_wb.append(pw)
         rels.append((Rr, pr))
-        S = _joint_S(jp, qj, dtype) if jp.num_dofs else None
+        S = (
+            _joint_S(jp, qj, dtype, s_chi=s_of(bi))
+            if jp.num_dofs
+            else None
+        )
         S_list.append(S)
         if jp.num_dofs:
             Sb = jnp.broadcast_to(S, (6, jp.num_dofs, B))
@@ -454,13 +532,21 @@ def fk(fw: FlatWorld, q):
     return R_wb, p_wb, W, S_list, rels
 
 
-def bias_forces(fw: FlatWorld, q, v, rels, S_list, gravity):
+def bias_forces(fw: FlatWorld, q, v, rels, S_list, gravity, G_list=None,
+                scales=None):
     """C(q, v) incl. gravity via batched RNEA (zero acceleration).
 
     Matches dynamics/skeleton.bias_forces (body-frame spatial recursion).
+    G_list: optional per-body (6, 6, B)/(6, 6, 1) spatial inertias
+    (body-parameter overrides); defaults to the static spec inertias.
     """
     dtype = q.dtype
     B = q.shape[-1]
+
+    def s_of(i):
+        if scales is None or i < 0:
+            return None
+        return jnp.broadcast_to(scales[i], (3, B))
     g = np.asarray(gravity, dtype=np.float64)
     base_acc = bl.const(np.concatenate([np.zeros(3), -g]), dtype)
     V: List = [None] * fw.nb
@@ -479,7 +565,7 @@ def bias_forces(fw: FlatWorld, q, v, rels, S_list, gravity):
             qj = _slice_q(fw, q, jp)
             dqj = _slice_q(fw, v, jp)
             sj = bl.mv(jnp.broadcast_to(S_list[bi], (6, jp.num_dofs, B)), dqj)
-            sdot = _joint_S_dot_dq(jp, qj, dqj, dtype)
+            sdot = _joint_S_dot_dq(jp, qj, dqj, dtype, s_chi=s_of(bi))
         else:
             sj = jnp.zeros((6, B), dtype=dtype)
             sdot = jnp.zeros((6, B), dtype=dtype)
@@ -491,7 +577,9 @@ def bias_forces(fw: FlatWorld, q, v, rels, S_list, gravity):
     tau_parts: Dict[int, jnp.ndarray] = {}
     for bi in reversed(range(fw.nb)):
         jp = fw.joints[bi]
-        Gb = bl.const(fw.G_body[bi], dtype)
+        Gb = (
+            G_list[bi] if G_list is not None else bl.const(fw.G_body[bi], dtype)
+        )
         Fi = bl.mv(jnp.broadcast_to(Gb, (6, 6, B)), A[bi]) - bl.dad_apply(
             V[bi], bl.mv(jnp.broadcast_to(Gb, (6, 6, B)), V[bi])
         )
@@ -519,11 +607,12 @@ def bias_forces(fw: FlatWorld, q, v, rels, S_list, gravity):
     )
 
 
-def mass_matrix(fw: FlatWorld, R_wb, p_wb, W):
+def mass_matrix(fw: FlatWorld, R_wb, p_wb, W, G_list=None):
     """World-frame CRBA: M (nv, nv, B) from composite world-frame inertias.
 
     Reference parity: Skeleton::getMassMatrix (same values; computed with
-    world-frame composites instead of body-frame CRBA sweeps).
+    world-frame composites instead of body-frame CRBA sweeps). G_list:
+    optional per-body spatial-inertia overrides (body parameters).
     """
     dtype = W.dtype
     B = W.shape[-1]
@@ -537,7 +626,10 @@ def mass_matrix(fw: FlatWorld, R_wb, p_wb, W):
         top = jnp.concatenate([Rt, jnp.zeros((3, 3, B), dtype=dtype)], axis=1)
         bot = jnp.concatenate([mRtP, Rt], axis=1)
         X = jnp.concatenate([top, bot], axis=0)  # (6, 6, B)
-        GX = bl.mm(bl.const(fw.G_body[bi], dtype), X)
+        Gb = (
+            G_list[bi] if G_list is not None else bl.const(fw.G_body[bi], dtype)
+        )
+        GX = bl.mm(Gb, X)
         Gc[bi] = bl.mtm(X, GX)
     # Composite accumulation up the tree (world frame: plain adds).
     for bi in reversed(range(fw.nb)):

@@ -334,23 +334,103 @@ class BatchedEngine:
 
     # ------------------------------------------------------------------
 
+    def _prepare_body_params(self, body_params, dtype, B):
+        """Normalize a body-parameter pytree to lane-major form.
+
+        body_params: {"masses" (NB,)/(NB,B), "coms" (NB,3)/(NB,3,B),
+        "inertias" (NB,3,3)/(NB,3,3,B), "scales" (NB,3)/(NB,3,B)} — the
+        reference's WithRespectToMass / GROUP_COMS / GROUP_INERTIAS /
+        GROUP_SCALES variables (WithRespectTo.hpp:62-75), batched per
+        world. Returns (scales (NB,3,B)|None, G_list per-body (6,6,B)).
+        Semantics mirror dynamics.skeleton._spatial_inertias exactly.
+        """
+        if body_params is None:
+            return None, None
+
+        def norm(x, base_ndim):
+            x = jnp.asarray(x, dtype=dtype)
+            return x[..., None] if x.ndim == base_ndim else x
+
+        masses = body_params.get("masses")
+        coms = body_params.get("coms")
+        inertias = body_params.get("inertias")
+        scales = body_params.get("scales")
+        if masses is not None:
+            masses = norm(masses, 1)
+        if coms is not None:
+            coms = norm(coms, 2)
+        if inertias is not None:
+            inertias = norm(inertias, 3)
+        if scales is not None:
+            scales = norm(scales, 2)
+
+        G_list = []
+        for i, bspec in enumerate(self.fw.body_specs):
+            m = (
+                masses[i]
+                if masses is not None
+                else bl.const(np.asarray(bspec.mass), dtype)[None]
+            )  # (B,) or (1,)
+            c = (
+                coms[i]
+                if coms is not None
+                else bl.const(np.asarray(bspec.com), dtype)
+            )  # (3, B) or (3, 1)
+            if inertias is not None:
+                I = inertias[i]
+            elif masses is not None:
+                # Inertia scales linearly in mass for fixed geometry
+                # (parity: dynamics.skeleton._spatial_inertias).
+                I = bl.const(np.asarray(bspec.inertia), dtype) * (
+                    m / float(bspec.mass)
+                )[None, None, :]
+            else:
+                I = bl.const(np.asarray(bspec.inertia), dtype)
+            if scales is not None:
+                s = scales[i]  # (3, B) or (3, 1)
+                c = c * s
+                I = I * (s[:, None, :] * s[None, :, :])
+            # Broadcast to full lane width, then assemble the spatial
+            # inertia [[I + m cx cx^T, m cx], [m cx^T, m I3]].
+            m = jnp.broadcast_to(m, (B,))
+            c = jnp.broadcast_to(c, (3, B))
+            I = jnp.broadcast_to(I, (3, 3, B))
+            cx = bl.skew(c)
+            mb = m[None, None, :]
+            top = jnp.concatenate(
+                [I + mb * bl.mm(cx, bl.transpose(cx)), mb * cx], axis=1
+            )
+            bot = jnp.concatenate(
+                [mb * bl.transpose(cx), mb * bl.eye(3, dtype, B=B)],
+                axis=1,
+            )
+            G_list.append(jnp.concatenate([top, bot], axis=0))
+        return scales, G_list
+
     def step(
         self,
         q: jnp.ndarray,
         v: jnp.ndarray,
         control: jnp.ndarray,
         z_warm: Optional[jnp.ndarray] = None,
+        body_params: Optional[dict] = None,
     ) -> BatchedStepResult:
-        """One batch-minor physics step; pure and differentiable."""
+        """One batch-minor physics step; pure and differentiable in
+        (q, v, control) and, when given, in `body_params` (masses / coms /
+        inertias / scales — lane-major mass/COM/inertia/scale gradients)."""
         w = self.world
         dt = w.time_step
         dtype = q.dtype
         B = q.shape[-1]
         nrows = self.num_rows
 
-        R_wb, p_wb, W, S_list, rels = fk(self.fw, q)
-        bias = bias_forces(self.fw, q, v, rels, S_list, w.gravity)
-        M = mass_matrix(self.fw, R_wb, p_wb, W)
+        scales_b, G_list = self._prepare_body_params(body_params, dtype, B)
+        R_wb, p_wb, W, S_list, rels = fk(self.fw, q, scales=scales_b)
+        bias = bias_forces(
+            self.fw, q, v, rels, S_list, w.gravity, G_list=G_list,
+            scales=scales_b,
+        )
+        M = mass_matrix(self.fw, R_wb, p_wb, W, G_list=G_list)
         L = bl.cholesky(M)
 
         passive = (
@@ -401,9 +481,12 @@ class BatchedEngine:
             contact_depths=cdepth,
         )
 
-    def state_step(self, state, action):
-        """RL state/action step: state (2nv, B), action (na, B)."""
+    def state_step(self, state, action, masses=None):
+        """RL state/action step: state (2nv, B), action (na, B).
+
+        masses: optional (NB,)/(NB, B) per-body masses (timestep parity)."""
         nv = self.world.num_dofs
         q, v = state[:nv], state[nv:]
-        res = self.step(q, v, self.action_to_forces(action))
+        bp = None if masses is None else {"masses": masses}
+        res = self.step(q, v, self.action_to_forces(action), body_params=bp)
         return jnp.concatenate([res.q, res.v])

@@ -10,3 +10,7 @@ from nimblephysics_tpu.models.builtin import (
     inverted_double_pendulum,
     box_drop,
 )
+from nimblephysics_tpu.models.human import (
+    human_standing,
+    rajagopal_humanoid,
+)

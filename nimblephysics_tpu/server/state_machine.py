@@ -197,16 +197,21 @@ class GUIStateMachine:
 
     # -- command stream -------------------------------------------------------
 
+    def flush_commands(self) -> List[dict]:
+        """Drain pending commands (one CommandList batch)."""
+        with self._lock:
+            cmds, self._queue = self._queue, []
+            return cmds
+
+    def full_state_commands(self) -> List[dict]:
+        with self._lock:
+            return list(self._objects.values())
+
     def flush_json(self) -> Optional[str]:
         """Drain pending commands as one JSON CommandList message."""
-        with self._lock:
-            if not self._queue:
-                return None
-            msg = json.dumps({"commands": self._queue})
-            self._queue = []
-            return msg
+        cmds = self.flush_commands()
+        return json.dumps({"commands": cmds}) if cmds else None
 
     def full_state_json(self) -> str:
         """Everything retained, for newly connected clients."""
-        with self._lock:
-            return json.dumps({"commands": list(self._objects.values())})
+        return json.dumps({"commands": self.full_state_commands()})

@@ -172,7 +172,7 @@ function handle(cmd){
     ws.send(JSON.stringify({type:'screenshot', id:cmd.id, data:cv.toDataURL('image/png')}));}
 }
 const hud=document.getElementById('hud');
-const ws=new WebSocket(`ws://${location.hostname}:WS_PORT`);
+const ws=new WebSocket(`ws://${location.hostname}:WS_PORT/json`);
 ws.onopen=()=>{hud.textContent='connected';};
 ws.onmessage=(ev)=>{const m=JSON.parse(ev.data);(m.commands||[]).forEach(handle);};
 // ----- input: orbit / pan / zoom / object drag / keys --------------------
@@ -308,10 +308,31 @@ class GUIWebsocketServer:
         self._http_thread.server = httpd  # type: ignore
         self._http_thread.start()
 
+        from nimblephysics_tpu.server.gui_proto import (
+            KeyCodes,
+            encode_command_list,
+        )
+
+        self._keycodes = KeyCodes()
+
         async def handler(ws):
+            # Wire selection by path (reference parity: the default "/"
+            # endpoint speaks binary proto3 CommandList frames, which the
+            # reference's published JS client decodes — GUI.proto,
+            # NimbleRemote.ts. The bundled offline viewer connects to
+            # "/json" for the JSON mirror of the same command stream.)
+            path = getattr(
+                getattr(ws, "request", None), "path", None
+            ) or getattr(ws, "path", "/")
+            proto_mode = not str(path).startswith("/json")
+            ws.nt_proto = proto_mode
             self._clients.add(ws)
             try:
-                await ws.send(self.state.full_state_json())
+                full = self.state.full_state_commands()
+                if proto_mode:
+                    await ws.send(encode_command_list(full, self._keycodes))
+                else:
+                    await ws.send(json.dumps({"commands": full}))
                 async for raw in ws:
                     try:
                         ev = json.loads(raw)
@@ -345,10 +366,21 @@ class GUIWebsocketServer:
             async with ws_server.serve(handler, host, self.ws_port):
                 while True:
                     await asyncio.sleep(0.02)
-                    msg = self.state.flush_json()
-                    if msg and self._clients:
+                    cmds = self.state.flush_commands()
+                    if cmds and self._clients:
+                        msg_json = json.dumps({"commands": cmds})
+                        msg_proto = encode_command_list(
+                            cmds, self._keycodes
+                        )
                         await asyncio.gather(
-                            *[c.send(msg) for c in list(self._clients)],
+                            *[
+                                c.send(
+                                    msg_proto
+                                    if getattr(c, "nt_proto", False)
+                                    else msg_json
+                                )
+                                for c in list(self._clients)
+                            ],
                             return_exceptions=True,
                         )
 

@@ -14,10 +14,8 @@ import subprocess
 import tempfile
 from typing import Optional
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_SRC = os.path.join(_REPO_ROOT, "native", "nimble_io.cpp")
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_PKG_ROOT, "native", "nimble_io.cpp")
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 

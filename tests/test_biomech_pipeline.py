@@ -607,3 +607,61 @@ def test_streaming_mocap_lab_over_socket():
     assert lab.ik.frames_solved >= 8
     assert len(poses) >= 8
     assert np.abs(poses[-1][1] - np.asarray(q_true)).max() < 0.05
+
+
+@pytest.mark.skipif(not os.path.exists(B3D), reason="reference data absent")
+def test_residual_elimination_on_real_b3d():
+    """Residual-FREE trajectory pass on the real AddBiomechanics subject
+    (round-2 verdict next-round #6): the closed-form linear-residual
+    eliminator must collapse the root linear residual on real walking
+    data, reporting before/after norms."""
+    import jax.numpy as jnp
+
+    from nimblephysics_tpu.biomechanics.dynamics_fitter import (
+        ResidualEliminator,
+    )
+    from nimblephysics_tpu.biomechanics.opensim_parser import parse_osim
+
+    r = read_b3d(B3D)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".osim", delete=False
+    ) as f:
+        f.write(r.pass_osim_texts[0])
+        osim_path = f.name
+    osim = parse_osim(osim_path)
+    skel = osim.skeleton
+
+    T = 60
+    fr = r.read_frames(0, 10, T)
+    dt = r.trials[0].timestep
+    q_full = np.asarray(osim.expand_poses(jnp.asarray(fr.pos[0])))
+
+    # Total measured force: sum over plates (NaN -> 0 when unloaded).
+    F = np.nan_to_num(fr.raw_force_plate_force, nan=0.0).sum(axis=1)
+    assert np.abs(F).max() > 100.0  # real GRF present
+
+    # Root translation dofs of this model: pelvis_tx/ty/tz.
+    rt = [osim.coordinate_names.index(n)
+          for n in ("pelvis_tx", "pelvis_ty", "pelvis_tz")]
+    elim = ResidualEliminator(skel, root_trans_dofs=rt)
+    # Use the subject's reported mass scaled onto the generic bodies.
+    bp_masses = np.asarray(
+        [b.mass for b in skel.bodies], dtype=np.float64
+    )
+    bp_masses *= r.mass_kg / bp_masses.sum()
+    res = elim.zero_linear_residuals(q_full, dt, F, masses=bp_masses)
+
+    print(
+        f"lin residual: {res.lin_residual_before:.1f} N -> "
+        f"{res.lin_residual_after:.3f} N "
+        f"(com correction {res.com_correction_rms * 100:.1f} cm)"
+    )
+    assert res.lin_residual_before > 1.0  # raw IK data has real residuals
+    # The eliminator is closed-form: residual collapses by construction.
+    assert res.lin_residual_after < 0.05 * res.lin_residual_before
+    assert res.lin_residual_after < 5.0  # near machine/integration noise
+    # The correction must stay anatomically small (it's a shift of the
+    # pelvis path, not a re-animation).
+    assert res.com_correction_rms < 0.25

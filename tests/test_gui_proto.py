@@ -1,0 +1,194 @@
+"""Protobuf CommandList wire parity (round-2 verdict missing #4 /
+next-round #5): frames emitted by the GUI server must decode, field by
+field, against the reference schema (dart/proto/GUI.proto) — i.e. the
+reference's published JS client can render this engine.
+
+The strongest available check: compile the REFERENCE .proto into a
+FileDescriptorSet with protoc and decode our hand-rolled frames with the
+official protobuf runtime.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from nimblephysics_tpu.server.gui_proto import (
+    KeyCodes,
+    decode_command_list,
+    encode_command_list,
+    unpack_floats,
+    unpack_int32s,
+)
+from nimblephysics_tpu.server.state_machine import GUIStateMachine
+
+_REF_PROTO_DIR = "/root/reference/dart/proto"
+
+
+def _sample_commands():
+    sm = GUIStateMachine()
+    sm.create_box(
+        "box1", size=(1, 2, 3), pos=(0.1, 0.2, 0.3), euler=(0, 0.5, 0),
+        color=(1, 0, 0, 1),
+    )
+    sm.create_sphere("ball", radius=0.25, pos=(1, 1, 1))
+    sm.create_capsule("cap", radius=0.05, length=0.4, pos=(0, 0, 1))
+    sm.create_line("traj", [[0, 0, 0], [1, 0, 0], [1, 1, 0]])
+    sm.create_mesh(
+        "m", verts=[[0, 0, 0], [1, 0, 0], [0, 1, 0]], faces=[[0, 1, 2]]
+    )
+    sm.set_object_position("box1", (9, 8, 7))
+    sm.set_object_rotation("box1", (0.1, 0.2, 0.3))
+    sm.set_object_color("box1", (0, 1, 0, 1))
+    sm.create_text("hud", "hello", from_top_left=(5, 6), size=(100, 20))
+    sm.create_button("b", "go", from_top_left=(1, 2), size=(40, 20))
+    sm.delete_object("ball")
+    return sm.flush_commands()
+
+
+def test_roundtrip_own_decoder():
+    cmds = _sample_commands()
+    keys = KeyCodes()
+    frame = encode_command_list(cmds, keys)
+    decoded = decode_command_list(frame)
+    kinds = [k for k, _ in decoded]
+    assert kinds == [
+        "create_box",
+        "create_sphere",
+        "create_capsule",
+        "create_line",
+        "create_mesh",
+        "set_pos",
+        "set_euler",
+        "set_color",
+        "create_text",
+        "create_button",
+        "delete",
+    ]
+    # Box: data = size ++ pos ++ euler ++ color (GUI.proto CreateBox).
+    box = decoded[0][1]
+    data = unpack_floats(box[2][0][1])
+    np.testing.assert_allclose(
+        data, [1, 2, 3, 0.1, 0.2, 0.3, 0, 0.5, 0, 1, 0, 0, 1], atol=1e-6
+    )
+    # set_pos refers to the SAME int code that created box1.
+    box_key = box[1][0][1]
+    setpos = decoded[5][1]
+    assert setpos[1][0][1] == box_key
+    np.testing.assert_allclose(unpack_floats(setpos[2][0][1]), [9, 8, 7])
+    # Text payloads.
+    text = decoded[8][1]
+    assert text[4][0][1].decode() == "hello"
+    assert unpack_int32s(text[3][0][1]) == [5, 6, 100, 20]
+
+
+@pytest.mark.skipif(
+    shutil.which("protoc") is None or not os.path.isdir(_REF_PROTO_DIR),
+    reason="protoc or reference schema unavailable",
+)
+def test_decodes_against_reference_schema():
+    """Official protobuf runtime + the reference GUI.proto descriptor set
+    must parse our frames (the exact check a reference JS client does)."""
+    desc_path = "/tmp/nt_gui_proto.desc"
+    subprocess.run(
+        [
+            "protoc",
+            f"-I{_REF_PROTO_DIR}",
+            "GUI.proto",
+            "-o",
+            desc_path,
+        ],
+        check=True,
+        capture_output=True,
+    )
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    fds = descriptor_pb2.FileDescriptorSet()
+    with open(desc_path, "rb") as f:
+        fds.ParseFromString(f.read())
+    pool = descriptor_pool.DescriptorPool()
+    for fd in fds.file:
+        pool.Add(fd)
+    CommandList = message_factory.GetMessageClass(
+        pool.FindMessageTypeByName("dart.proto.CommandList")
+    )
+
+    cmds = _sample_commands()
+    frame = encode_command_list(cmds, KeyCodes())
+    msg = CommandList()
+    msg.ParseFromString(frame)
+    assert len(msg.command) == 11
+    c0 = msg.command[0]
+    assert c0.WhichOneof("command") == "box"
+    np.testing.assert_allclose(
+        list(c0.box.data),
+        [1, 2, 3, 0.1, 0.2, 0.3, 0, 0.5, 0, 1, 0, 0, 1],
+        atol=1e-6,
+    )
+    assert c0.box.cast_shadows and c0.box.receive_shadows
+    assert msg.command[1].WhichOneof("command") == "sphere"
+    np.testing.assert_allclose(
+        list(msg.command[1].sphere.data)[:4], [0.25, 1, 1, 1], atol=1e-6
+    )
+    assert msg.command[2].WhichOneof("command") == "capsule"
+    line = msg.command[3].line
+    np.testing.assert_allclose(
+        list(line.points), [0, 0, 0, 1, 0, 0, 1, 1, 0], atol=1e-6
+    )
+    mesh = msg.command[4].mesh
+    assert list(mesh.face) == [0, 1, 2]
+    assert len(mesh.vertex) == 9
+    sp = msg.command[5]
+    assert sp.WhichOneof("command") == "set_object_position"
+    assert sp.set_object_position.key == c0.box.key
+    np.testing.assert_allclose(
+        list(sp.set_object_position.data), [9, 8, 7], atol=1e-6
+    )
+    assert msg.command[6].WhichOneof("command") == "set_object_rotation"
+    assert msg.command[7].WhichOneof("command") == "set_object_color"
+    txt = msg.command[8].text
+    assert txt.contents == "hello"
+    assert list(txt.pos) == [5, 6, 100, 20]
+    btn = msg.command[9].button
+    assert btn.label == "go"
+    assert msg.command[10].WhichOneof("command") == "delete_object"
+
+
+def test_server_broadcasts_proto_frames():
+    """A client on the default path receives binary proto frames; the
+    /json path still receives the JSON mirror."""
+    import json
+    import threading
+    import time
+
+    import websockets.sync.client as ws_client
+
+    from nimblephysics_tpu.server.websocket_server import GUIWebsocketServer
+
+    server = GUIWebsocketServer()
+    server.state.create_box("b", size=(1, 1, 1))
+    port = 8191
+    server.serve(port=port)
+    time.sleep(0.5)
+    try:
+        with ws_client.connect(
+            f"ws://127.0.0.1:{port + 1}/"
+        ) as wsp, ws_client.connect(
+            f"ws://127.0.0.1:{port + 1}/json"
+        ) as wsj:
+            frame = wsp.recv(timeout=5)
+            assert isinstance(frame, (bytes, bytearray))
+            decoded = decode_command_list(bytes(frame))
+            assert decoded and decoded[0][0] == "create_box"
+            jmsg = json.loads(wsj.recv(timeout=5))
+            assert jmsg["commands"][0]["type"] == "create_box"
+            # Delta flush reaches both wires.
+            server.state.set_object_position("b", (1, 2, 3))
+            frame2 = wsp.recv(timeout=5)
+            assert decode_command_list(bytes(frame2))[0][0] == "set_pos"
+            jmsg2 = json.loads(wsj.recv(timeout=5))
+            assert jmsg2["commands"][0]["type"] == "set_pos"
+    finally:
+        server.stop()
