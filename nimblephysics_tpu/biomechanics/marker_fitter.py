@@ -48,6 +48,7 @@ class MarkerFitter:
         markers: Optional[Dict[str, Tuple[int, np.ndarray, bool]]] = None,
         regularize_scales: float = 1.0,
         regularize_offsets: float = 10.0,
+        regularize_tracking_offsets: float = 0.05,
         scale_bounds: Tuple[float, float] = (0.7, 1.4),
         anthropometrics=None,
         anthropometric_weight: float = 1e-3,
@@ -73,6 +74,7 @@ class MarkerFitter:
         ) = marker_table(skel)
         self.reg_scales = regularize_scales
         self.reg_offsets = regularize_offsets
+        self.reg_tracking = regularize_tracking_offsets
         self.scale_bounds = scale_bounds
 
     # ------------------------------------------------------------------
@@ -97,6 +99,8 @@ class MarkerFitter:
         lr_offsets: float = 0.005,
         clean_traces: bool = False,
         dt: Optional[float] = None,
+        joint_limits: bool = True,
+        pose_regularization: float = 1e-4,
     ) -> MarkerFitResult:
         """Bilevel fit (reference: MarkerFitter::runKinematicsPipeline).
 
@@ -138,11 +142,27 @@ class MarkerFitter:
             return self.groups.expand(s) if self.groups else s
 
         def offsets_of(d_off):
-            # Fixed (anatomical) markers don't move in their frame
-            # (reference: the `fixed` flag on markers).
-            return offsets0 + jnp.where(fixed[:, None], 0.0, d_off)
+            # Reference parity (MarkerFitter::setRegularize*MarkerOffsets):
+            # anatomical ("fixed") markers are strongly regularized but
+            # MOVABLE — subject-specific placement differs from the
+            # generic model; hard-freezing them floors the fit error.
+            return offsets0 + d_off
 
         # -- inner: per-frame Gauss-Newton IK (vmapped over frames) --------
+        # Joint-limit-aware (reference: the fitters' limit-respecting IK,
+        # MarkerFitter.hpp pipeline): each GN step is clipped to the
+        # position limits; a small Tikhonov pull toward the neutral pose
+        # pins dofs the marker set barely observes (toes, pronation)
+        # instead of letting them wander.
+        q_lo = jnp.asarray(
+            np.nan_to_num(skel.position_lower_limits(), neginf=-1e9)
+        )
+        q_hi = jnp.asarray(
+            np.nan_to_num(skel.position_upper_limits(), posinf=1e9)
+        )
+        q_neutral = jnp.clip(jnp.zeros(nq), q_lo, q_hi)
+        lam = pose_regularization
+
         def ik_refine(q, scales, offsets, ob, mk):
             def gn(qq, _):
                 def resid(qqq):
@@ -153,9 +173,13 @@ class MarkerFitter:
 
                 r = resid(qq)
                 J = jax.jacfwd(resid)(qq)
-                JtJ = J.T @ J + 1e-6 * jnp.eye(nq)
-                dq = jnp.linalg.solve(JtJ, J.T @ r)
-                return qq - dq, None
+                JtJ = J.T @ J + (1e-6 + lam) * jnp.eye(nq)
+                rhs = J.T @ r + lam * (qq - q_neutral)
+                dq = jnp.linalg.solve(JtJ, rhs)
+                q_new = qq - dq
+                if joint_limits:
+                    q_new = jnp.clip(q_new, q_lo, q_hi)
+                return q_new, None
 
             q2, _ = jax.lax.scan(gn, q, None, length=ik_iterations)
             return q2
@@ -172,8 +196,10 @@ class MarkerFitter:
                 lambda q, ob, mk: self._frame_loss(q, scales, offsets, ob, mk)
             )(poses, obs, mask)
             data = jnp.sum(losses) / jnp.maximum(jnp.sum(counts), 1.0)
-            reg = self.reg_scales * jnp.mean(log_s**2) + (
-                self.reg_offsets * jnp.mean(d_off**2)
+            w_off = jnp.where(fixed[:, None], self.reg_offsets,
+                              self.reg_tracking)
+            reg = self.reg_scales * jnp.mean(log_s**2) + jnp.mean(
+                w_off * d_off**2
             )
             if self.anthro is not None:
                 reg = reg - self.anthro_w * self.anthro.log_pdf(scales)

@@ -179,9 +179,62 @@ class GUIStateMachine:
                             self.create_mesh(
                                 key, v, hull_triangles(v), pos, euler, color
                             )
+                        elif t == SH.LINE_SEGMENT:
+                            # Reference: LineSegmentShape — polyline of
+                            # shape-frame vertices (mesh_vertices rows).
+                            pts = (
+                                shape.mesh_vertices
+                                if shape.mesh_vertices is not None
+                                else np.zeros((0, 3))
+                            )
+                            world_pts = pts @ T_ws[:3, :3].T + T_ws[:3, 3]
+                            self.create_line(key, world_pts, color)
+                        elif t == SH.POINT_CLOUD:
+                            # Reference: PointCloudShape — one small
+                            # sphere per point (size[0] = point radius).
+                            pts = (
+                                shape.mesh_vertices
+                                if shape.mesh_vertices is not None
+                                else np.zeros((0, 3))
+                            )
+                            r = (
+                                float(shape.size[0])
+                                if np.asarray(shape.size).size
+                                else 0.01
+                            )
+                            world_pts = pts @ T_ws[:3, :3].T + T_ws[:3, 3]
+                            for pi, p in enumerate(world_pts):
+                                self.create_sphere(
+                                    f"{key}_p{pi}", r, p, color
+                                )
+                            # Group marker so later renders take the
+                            # set_pos update path per point.
+                            with self._lock:
+                                self._objects[key] = dict(
+                                    type="group", key=key
+                                )
                     else:
-                        self.set_object_position(key, pos)
-                        self.set_object_rotation(key, euler)
+                        t = shape.shape_type
+                        if t == SH.LINE_SEGMENT:
+                            pts = (
+                                shape.mesh_vertices
+                                if shape.mesh_vertices is not None
+                                else np.zeros((0, 3))
+                            )
+                            world_pts = pts @ T_ws[:3, :3].T + T_ws[:3, 3]
+                            self.create_line(key, world_pts, color)
+                        elif t == SH.POINT_CLOUD:
+                            pts = (
+                                shape.mesh_vertices
+                                if shape.mesh_vertices is not None
+                                else np.zeros((0, 3))
+                            )
+                            world_pts = pts @ T_ws[:3, :3].T + T_ws[:3, 3]
+                            for pi, p in enumerate(world_pts):
+                                self.set_object_position(f"{key}_p{pi}", p)
+                        else:
+                            self.set_object_position(key, pos)
+                            self.set_object_rotation(key, euler)
 
     def render_trajectory_lines(self, world: World, poses, prefix="traj"):
         """Reference parity: renderTrajectoryLines — one polyline per body

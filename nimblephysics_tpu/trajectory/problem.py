@@ -30,11 +30,14 @@ from nimblephysics_tpu.simulation.world import World
 
 class TrajectoryRollout(NamedTuple):
     """Reference parity: trajectory::TrajectoryRollout (poses/vels/forces
-    matrices per mapping, TrajectoryRollout.hpp:28-127)."""
+    matrices per mapping, TrajectoryRollout.hpp:28-127). `mapped` holds
+    per-mapping pos/vel trajectories for every mapping registered on the
+    Problem (reference: MappedBackpropSnapshot losses)."""
 
     poses: jnp.ndarray  # (T, nq)
     vels: jnp.ndarray  # (T, nv)
     forces: jnp.ndarray  # (T, na)
+    mapped: dict = {}  # name -> {"pos": (T, d), "vel": (T, d)}
 
     def to_json(self) -> str:
         import json
@@ -67,6 +70,41 @@ class Problem:
         self.steps = steps
         self.nv = world.num_dofs
         self.na = world.action_size
+        # Pinned forces (reference: Problem::pinForce, Problem.hpp:332-339)
+        # — fixed control rows the optimizer must not change.
+        self._pinned: dict = {}  # t -> (na,) np array
+        # Loss mappings (reference: Problem::addMapping + per-mapping
+        # TrajectoryRollout matrices): name -> IKMapping/IdentityMapping.
+        self.mappings: dict = {}
+
+    def pin_force(self, t: int, value) -> None:
+        """Fix the controls at timestep `t` to `value` (excluded from the
+        optimization: the rollout overrides that row, so the loss is
+        constant in the corresponding variables)."""
+        self._pinned[int(t)] = np.asarray(value, dtype=np.float64)
+
+    def get_pinned_force(self, t: int):
+        return self._pinned.get(int(t))
+
+    def add_mapping(self, name: str, mapping) -> None:
+        """Register a loss-space mapping; rollouts then carry
+        rollout.mapped[name] = {"pos": (T, d), "vel": (T, d)}."""
+        self.mappings[name] = mapping
+
+    def _apply_pins(self, forces: jnp.ndarray) -> jnp.ndarray:
+        """Override pinned rows of a (T, na) force matrix."""
+        for t, v in self._pinned.items():
+            forces = forces.at[t].set(jnp.asarray(v, dtype=forces.dtype))
+        return forces
+
+    def _mapped(self, poses: jnp.ndarray, vels: jnp.ndarray) -> dict:
+        out = {}
+        for name, m in self.mappings.items():
+            out[name] = {
+                "pos": jax.vmap(m.map_pos)(poses),
+                "vel": jax.vmap(m.map_vel)(poses, vels),
+            }
+        return out
 
     @property
     def num_variables(self) -> int:
@@ -142,8 +180,11 @@ class SingleShot(Problem):
 
     def rollout(self, x: jnp.ndarray) -> TrajectoryRollout:
         s0, forces = self._split(x)
+        forces = self._apply_pins(forces)
         poses, vels = self._scan_rollout(s0, forces)
-        return TrajectoryRollout(poses, vels, forces)
+        return TrajectoryRollout(
+            poses, vels, forces, self._mapped(poses, vels)
+        )
 
     def final_state(self, x: jnp.ndarray) -> jnp.ndarray:
         r = self.rollout(x)
@@ -208,6 +249,13 @@ class MultiShot(Problem):
     def _shot_states(self, x):
         """All shots, in parallel: (S, L, 2nv) post-step states."""
         starts, forces = self._split(x)
+        if self._pinned:
+            flat = self._apply_pins(
+                forces.reshape(self.steps, self.na)
+            )
+            forces = flat.reshape(
+                self.num_shots, self.shot_length, self.na
+            )
 
         def one_shot(s0, us):
             def body(s, u):
@@ -222,10 +270,12 @@ class MultiShot(Problem):
     def rollout(self, x: jnp.ndarray) -> TrajectoryRollout:
         states, forces = self._shot_states(x)
         flat = states.reshape(self.steps, 2 * self.nv)
+        poses, vels = flat[:, : self.nv], flat[:, self.nv :]
         return TrajectoryRollout(
-            flat[:, : self.nv],
-            flat[:, self.nv :],
+            poses,
+            vels,
             forces.reshape(self.steps, self.na),
+            self._mapped(poses, vels),
         )
 
     def constraints(self, x: jnp.ndarray) -> jnp.ndarray:

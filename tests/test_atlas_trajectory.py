@@ -150,3 +150,70 @@ def test_cartpole_multishot_gauss_newton_reduces_loss():
     loss0 = float(prob.loss(x0))
     assert sol.loss < 0.1 * loss0, (sol.loss, loss0)
     assert sol.constraint_violation <= 1e-4, sol.constraint_violation
+
+
+KR5 = "/root/reference/data/urdf/KR5/KR5 sixx R650.urdf"
+
+
+@pytest.mark.skipif(not os.path.exists(KR5), reason="reference data absent")
+def test_kr5_multishot_gauss_newton_reach():
+    """Mid-size UNGATED second-order proof (round-2 verdict #8): the KR5
+    arm (6 dof, reference recipe test_KR5Trajectory.cpp) solved by
+    Gauss-Newton multiple shooting to knot feasibility in the default
+    suite — between the 2-dof cartpole and the NT_SLOW 33-dof Atlas."""
+    from nimblephysics_tpu.dynamics.skeleton import forward_kinematics
+    from nimblephysics_tpu.utils.urdf_parser import parse_urdf
+
+    sk = parse_urdf(KR5, root_joint="weld")
+    world = World(gravity=(0.0, 0.0, -9.81), time_step=0.01)
+    world.add_skeleton(sk)
+    nd = sk.num_dofs
+    assert nd == 6, nd
+    world.set_action_space(list(range(nd)))
+
+    q_init = jnp.zeros(nd)
+    ee = sk.num_bodies - 1
+
+    def ee_pos(q):
+        return forward_kinematics(sk, q)[ee][:3, 3]
+
+    ee0 = np.asarray(ee_pos(q_init))
+    target = jnp.asarray(ee0 + np.array([0.06, -0.05, 0.04]))
+
+    # Effort weight must not dominate the gravity-compensation torques or
+    # the optimum is "don't fight gravity, miss the target".
+    def loss(ro):
+        qf, vf = ro.poses[-1], ro.vels[-1]
+        return (
+            jnp.sum((10.0 * (ee_pos(qf) - target)) ** 2)
+            + jnp.sum((0.05 * vf) ** 2)
+            + jnp.sum((1e-3 * ro.forces) ** 2)
+        )
+
+    start = jnp.concatenate([q_init, jnp.zeros(nd)])
+    prob = MultiShot(world, loss, steps=16, shot_length=8,
+                     start_state=start)
+    x0 = prob.initial_guess(start)
+
+    def residuals(x):
+        ro = prob.rollout(x)
+        return jnp.concatenate(
+            [
+                10.0 * (ee_pos(ro.poses[-1]) - target),
+                0.05 * ro.vels[-1],
+                1e-3 * ro.forces.reshape(-1),
+            ]
+        )
+
+    opt = GaussNewtonOptimizer(outer_iterations=7, inner_iterations=8,
+                               rho0=100.0)
+    sol = opt.optimize(prob, residuals, x0=x0)
+    assert sol.constraint_violation <= 1e-4, sol.constraint_violation
+    # Success = the arm actually reaches: physically-feasible rollout ends
+    # with the end effector within 2 cm of a target 8.8 cm away (the
+    # initial-guess "loss" is not comparable — its knots are infeasible).
+    reach_err = float(
+        jnp.linalg.norm(ee_pos(sol.rollout.poses[-1]) - target)
+    )
+    assert reach_err <= 0.02, reach_err
+    assert np.isfinite(np.asarray(sol.rollout.poses)).all()

@@ -79,7 +79,11 @@ class TestWebsocketServer:
             assert b"<canvas" in html and b"unpkg" not in html
             # Websocket: receive full state after displaying a world.
             gui.display_state(np.concatenate([q0, v0]))
-            with ws_client.connect("ws://127.0.0.1:18071", open_timeout=5) as ws:
+            # JSON mirror lives on /json; the default path speaks the
+            # reference's binary protobuf CommandList wire.
+            with ws_client.connect(
+                "ws://127.0.0.1:18071/json", open_timeout=5
+            ) as ws:
                 msg = json.loads(ws.recv(timeout=5))
                 assert "commands" in msg
         finally:
@@ -106,3 +110,45 @@ class TestPerformanceLog:
             time.sleep(0.005)
         log.finalize()
         assert log.children["block"].total >= 0.004
+
+
+def test_render_pointcloud_and_linesegment_shapes():
+    """PointCloud + LineSegment display shapes (SURVEY 2.1 shape table)
+    render and track body motion."""
+    import numpy as np
+    from nimblephysics_tpu.dynamics import shapes as SH
+    from nimblephysics_tpu.dynamics.shapes import ShapeSpec
+    from nimblephysics_tpu.dynamics.skeleton import Skeleton
+    from nimblephysics_tpu.server.state_machine import GUIStateMachine
+    from nimblephysics_tpu.simulation import World
+
+    sk = Skeleton("cloudy")
+    sk.add_joint_and_body(
+        "translational", parent=-1, name="b",
+        shapes=(
+            ShapeSpec(
+                SH.POINT_CLOUD, np.array([0.02]), collidable=False,
+                mesh_vertices=np.array([[0, 0, 0], [0.1, 0, 0]]),
+            ),
+            ShapeSpec(
+                SH.LINE_SEGMENT, np.zeros(0), collidable=False,
+                mesh_vertices=np.array([[0, 0, 0], [0, 0, 0.5]]),
+            ),
+        ),
+    )
+    w = World()
+    w.add_skeleton(sk)
+    sm = GUIStateMachine()
+    import jax.numpy as jnp
+
+    sm.render_world(w, jnp.zeros(3))
+    cmds = sm.flush_commands()
+    kinds = [c["type"] for c in cmds]
+    assert kinds.count("create_sphere") == 2  # cloud points
+    assert "create_line" in kinds
+    # Move the body: spheres track.
+    sm.render_world(w, jnp.asarray([1.0, 0.0, 0.0]))
+    cmds2 = sm.flush_commands()
+    moves = [c for c in cmds2 if c["type"] == "set_pos"]
+    assert len(moves) >= 2
+    assert abs(moves[0]["pos"][0] - 1.0) < 1e-9

@@ -87,3 +87,53 @@ class TestMultiShot:
         assert sol.constraint_violation < 1e-2, sol.constraint_violation
         assert sol.loss < float(prob.loss(x0)) * 0.5
         assert sol.rollout.poses.shape == (40, 2)
+
+
+class TestPinnedForcesAndMappings:
+    def test_pinned_force_rows_are_fixed(self):
+        """Problem::pinForce parity (Problem.hpp:332-339): pinned control
+        rows override the variables and carry no gradient."""
+        prob, x0 = make_problem(SingleShot, steps=10)
+        pin = np.full(prob.na, 0.37)
+        prob.pin_force(3, pin)
+        ro = prob.rollout(x0 + 1.0)  # nonzero variables everywhere
+        np.testing.assert_allclose(np.asarray(ro.forces[3]), pin)
+        g = jax.grad(prob.loss)(x0 + 1.0)
+        # Variables for the pinned step have exactly zero gradient.
+        s = 3 * prob.na
+        np.testing.assert_allclose(
+            np.asarray(g[s : s + prob.na]), 0.0, atol=1e-12
+        )
+        # Unpinned neighbors do carry gradient.
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_pinned_force_in_multishot(self):
+        prob, x0 = make_problem(MultiShot, steps=20, shot_length=10)
+        pin = np.full(prob.na, -0.5)
+        prob.pin_force(12, pin)
+        ro = prob.rollout(x0)
+        np.testing.assert_allclose(np.asarray(ro.forces[12]), pin)
+
+    def test_per_mapping_losses(self):
+        """addMapping parity: rollouts carry mapped pos/vel trajectories
+        and losses over them differentiate."""
+        from nimblephysics_tpu.neural.mappings import IKMapping
+
+        world, q0, v0 = cartpole()
+        world.set_action_space([0])
+        m = IKMapping(world)
+        m.add_linear_body_node(1)  # pole COM world position
+
+        def loss(ro):
+            # Drive the pole COM x to 0.2 via the MAPPED space.
+            return jnp.sum((ro.mapped["pole"]["pos"][-1, 0] - 0.2) ** 2)
+
+        prob = SingleShot(world, loss, steps=10)
+        prob.add_mapping("pole", m)
+        x0 = prob.initial_guess(jnp.zeros(4))
+        ro = prob.rollout(x0)
+        assert ro.mapped["pole"]["pos"].shape == (10, 3)
+        assert ro.mapped["pole"]["vel"].shape == (10, 3)
+        g = jax.grad(prob.loss)(x0)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.abs(g).max()) > 0
