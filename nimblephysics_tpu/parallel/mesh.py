@@ -146,11 +146,17 @@ def sharded_train_step_batched(
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    nv = bengine.world.num_dofs
+
     def local_loss(params, states):
         def body(s, _):
             a = policy_apply(params, s)  # (na, B_local)
             s2 = bengine.state_step(s, a)
-            r = s2[0] - s[0] - 1e-3 * jnp.sum(a * a, axis=0)
+            # Reward = forward ROOT VELOCITY (policy-gradient signal
+            # through the direct force->velocity channel; per-step
+            # displacement over a dryrun-sized horizon is too small to
+            # exceed f32 noise) minus an effort penalty.
+            r = s2[nv] - 1e-3 * jnp.sum(a * a, axis=0)
             return s2, r
 
         states2, rs = jax.lax.scan(body, states, None, length=horizon)

@@ -250,10 +250,13 @@ class GaussNewtonOptimizer:
             J = jax.jacrev(lambda xx: r_aug(xx, lam, rho))(x)
             g = J.T @ r
             H = J.T @ J
+            # Marquardt scaling: damp with mu * diag(H), not mu * I —
+            # shooting problems mix variables whose sensitivities span
+            # orders of magnitude (wrist vs base torques), and isotropic
+            # damping crushes the low-sensitivity directions.
+            D = jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-8))
             dx = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(
-                    H + mu * jnp.eye(n, dtype=x.dtype)
-                ),
+                jax.scipy.linalg.cho_factor(H + mu * D),
                 -g,
             )
             f0 = 0.5 * jnp.sum(r * r)

@@ -191,7 +191,7 @@ def test_kr5_multishot_gauss_newton_reach():
         )
 
     start = jnp.concatenate([q_init, jnp.zeros(nd)])
-    prob = MultiShot(world, loss, steps=16, shot_length=8,
+    prob = MultiShot(world, loss, steps=24, shot_length=8,
                      start_state=start)
     x0 = prob.initial_guess(start)
 
@@ -205,7 +205,7 @@ def test_kr5_multishot_gauss_newton_reach():
             ]
         )
 
-    opt = GaussNewtonOptimizer(outer_iterations=7, inner_iterations=8,
+    opt = GaussNewtonOptimizer(outer_iterations=8, inner_iterations=12,
                                rho0=100.0)
     sol = opt.optimize(prob, residuals, x0=x0)
     assert sol.constraint_violation <= 1e-4, sol.constraint_violation
