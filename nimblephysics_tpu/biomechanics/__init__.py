@@ -58,3 +58,4 @@ from nimblephysics_tpu.biomechanics.streaming import (
     StreamingIK,
     StreamingMocapLab,
 )
+from nimblephysics_tpu.biomechanics.reports import IKErrorReport

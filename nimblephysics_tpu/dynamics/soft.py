@@ -93,6 +93,41 @@ def make_soft_box(
     )
 
 
+def grid_skin_faces(grid) -> np.ndarray:
+    """Triangulated SURFACE of a grid-of-particles box: the SoftMeshShape
+    skin (reference: SoftBodyNodeHelper::setBox builds the box's surface
+    mesh over the same particle grid). Returns (F, 3) int indices into
+    the flattened (nx*ny*nz) particle array; vertex positions come from
+    the live SoftState, so the skin deforms with the cloud."""
+    nx, ny, nz = grid
+    idx = np.arange(nx * ny * nz).reshape(nx, ny, nz)
+    faces = []
+
+    def quad(a, b, c, d):
+        faces.append((a, b, c))
+        faces.append((a, c, d))
+
+    for j in range(ny - 1):
+        for k in range(nz - 1):
+            quad(idx[0, j, k], idx[0, j, k + 1],
+                 idx[0, j + 1, k + 1], idx[0, j + 1, k])
+            quad(idx[-1, j, k], idx[-1, j + 1, k],
+                 idx[-1, j + 1, k + 1], idx[-1, j, k + 1])
+    for i in range(nx - 1):
+        for k in range(nz - 1):
+            quad(idx[i, 0, k], idx[i + 1, 0, k],
+                 idx[i + 1, 0, k + 1], idx[i, 0, k + 1])
+            quad(idx[i, -1, k], idx[i, -1, k + 1],
+                 idx[i + 1, -1, k + 1], idx[i + 1, -1, k])
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            quad(idx[i, j, 0], idx[i, j + 1, 0],
+                 idx[i + 1, j + 1, 0], idx[i + 1, j, 0])
+            quad(idx[i, j, -1], idx[i + 1, j, -1],
+                 idx[i + 1, j + 1, -1], idx[i, j + 1, -1])
+    return np.asarray(faces, dtype=np.int64)
+
+
 class SoftState(NamedTuple):
     """Per-cloud particle state pytree (world frame)."""
 

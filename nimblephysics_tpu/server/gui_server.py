@@ -51,12 +51,22 @@ class NimbleGUI:
 
     def display_soft_state(
         self, softs, prefix: str = "soft", radius: float = 0.01,
-        color=(0.9, 0.6, 0.4, 1.0),
+        color=(0.9, 0.6, 0.4, 1.0), skin_faces=None,
     ) -> None:
         """Render soft-body particle clouds (dynamics/soft.SoftState
-        list) as small spheres — the SoftMeshShape display analog."""
+        list). Default: one small sphere per particle. With `skin_faces`
+        (a list of (F, 3) index arrays per cloud, e.g. from
+        dynamics.soft.grid_skin_faces), render a deforming SoftMeshShape
+        SKIN instead — a triangle mesh over the live particle positions
+        (reference: SoftMeshShape rendering)."""
         for si, st in enumerate(softs):
             pos = np.asarray(st.pos)
+            if skin_faces is not None:
+                self.state.create_mesh(
+                    f"{prefix}{si}_skin", pos, np.asarray(skin_faces[si]),
+                    color=color,
+                )
+                continue
             for pi in range(len(pos)):
                 key = f"{prefix}{si}_{pi}"
                 if key in self.state._objects:

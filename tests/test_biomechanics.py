@@ -118,12 +118,15 @@ class TestMarkerFitter:
         check the fitter recovers them (reference: the Arnold2013-synthetic
         MarkerFitter regression)."""
         sk = ball_chain(3, length=0.4)
-        sk.add_marker("m0", 0, [0.05, 0.0, -0.1])
-        sk.add_marker("m1", 1, [0.0, 0.05, -0.15])
-        sk.add_marker("m2", 2, [0.0, 0.0, -0.2])
-        sk.add_marker("m3", 2, [0.05, 0.0, 0.0])
-        sk.add_marker("m4", 1, [-0.05, 0.0, 0.0])
-        sk.add_marker("m5", 0, [0.0, -0.05, 0.0])
+        # Anatomical (fixed=True) markers: strongly offset-regularized so
+        # the scale signal is not absorbed by marker offsets (tracking
+        # markers are nearly free to move, reference reg 0.05).
+        sk.add_marker("m0", 0, [0.05, 0.0, -0.1], fixed=True)
+        sk.add_marker("m1", 1, [0.0, 0.05, -0.15], fixed=True)
+        sk.add_marker("m2", 2, [0.0, 0.0, -0.2], fixed=True)
+        sk.add_marker("m3", 2, [0.05, 0.0, 0.0], fixed=True)
+        sk.add_marker("m4", 1, [-0.05, 0.0, 0.0], fixed=True)
+        sk.add_marker("m5", 0, [0.0, -0.05, 0.0], fixed=True)
         names, bodies, offsets, fixed = marker_table(sk)
 
         rng = np.random.RandomState(3)
@@ -263,3 +266,61 @@ class TestOpenSimV4:
         )
         assert p.shape == (114, 3)
         assert bool(jnp.all(jnp.isfinite(p)))
+
+
+def test_ik_error_report():
+    """IKErrorReport parity (IKErrorReport.hpp): per-frame RMSE/max,
+    per-marker ranking, CSV export — on a known synthetic error field."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from nimblephysics_tpu.biomechanics import IKErrorReport
+    from nimblephysics_tpu.biomechanics.scaled_fk import (
+        marker_table,
+        marker_world_positions,
+    )
+    from nimblephysics_tpu.dynamics.skeleton import Skeleton
+
+    sk = Skeleton("rep")
+    b = sk.add_joint_and_body("free", name="seg", mass=1.0)
+    sk.add_marker("A", b, (0.1, 0.0, 0.0))
+    sk.add_marker("B", b, (0.0, 0.1, 0.0))
+    sk.add_marker("C", b, (0.0, 0.0, 0.1))
+    names, bodies, offsets, _f = marker_table(sk)
+
+    T = 4
+    poses = np.zeros((T, 6))
+    truth = np.stack(
+        [
+            np.asarray(
+                marker_world_positions(
+                    sk, jnp.asarray(poses[t]), jnp.asarray(bodies),
+                    jnp.asarray(offsets),
+                )
+            )
+            for t in range(T)
+        ]
+    )
+    obs = truth.copy()
+    obs[:, 0, 0] += 0.01  # marker A off by exactly 1 cm
+    obs[:, 2, :] = np.nan  # marker C occluded everywhere
+
+    rep = IKErrorReport.compute(sk, poses, obs)
+    # 2 observed markers; only A has 1 cm error:
+    # rmse = sqrt(0.01^2 / 2), max = 0.01.
+    np.testing.assert_allclose(
+        rep.average_root_mean_squared_error,
+        np.sqrt(0.01**2 / 2.0),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(rep.average_max_error, 0.01, rtol=1e-9)
+    assert rep.worst_markers == ["A"] * T
+    ranked = rep.sorted_marker_rmse()
+    assert ranked[0][0] == "A" and abs(ranked[0][1] - 0.01) < 1e-12
+    assert "C" not in dict(ranked)  # fully occluded: no RMSE entry
+    with tempfile.NamedTemporaryFile("r", suffix=".csv") as f:
+        rep.save_csv_marker_error_report(f.name)
+        lines = open(f.name).read().splitlines()
+        assert len(lines) == 1 + T and lines[0].startswith("timestep")
+    rep.print_report(limit_timesteps=2)

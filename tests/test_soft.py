@@ -145,3 +145,35 @@ def test_soft_state_renders_in_gui():
     msg2 = json.loads(gui.state.flush_json())
     assert all(c["type"] == "set_pos" for c in msg2["commands"]
                if c["key"].startswith("soft"))
+
+
+def test_soft_mesh_skin_rendering():
+    """SoftMeshShape skin parity: a deforming triangle mesh over the live
+    particle grid (closes the last shape-table display gap)."""
+    import numpy as np
+
+    from nimblephysics_tpu.dynamics.soft import SoftState, grid_skin_faces
+    from nimblephysics_tpu.server.gui_server import NimbleGUI
+    from nimblephysics_tpu.simulation import World
+
+    grid = (3, 3, 3)
+    faces = grid_skin_faces(grid)
+    # Surface of a 3x3x3 grid: 6 faces x 4 quads x 2 triangles = 48.
+    assert faces.shape == (48, 3)
+    assert faces.min() >= 0 and faces.max() < 27
+    # Every surface particle appears; interior particle (center) does not.
+    used = set(faces.reshape(-1).tolist())
+    assert 13 not in used  # center of the 3x3x3 grid
+    assert len(used) == 26
+
+    import jax.numpy as jnp
+
+    gui = NimbleGUI(World())
+    pos = np.random.RandomState(0).randn(27, 3) * 0.01
+    st = SoftState(pos=jnp.asarray(pos), vel=jnp.zeros((27, 3)))
+    gui.display_soft_state([st], skin_faces=[faces])
+    cmds = gui.state.flush_commands()
+    mesh_cmds = [c for c in cmds if c["type"] == "create_mesh"]
+    assert len(mesh_cmds) == 1
+    assert len(mesh_cmds[0]["verts"]) == 27
+    assert len(mesh_cmds[0]["faces"]) == 48
