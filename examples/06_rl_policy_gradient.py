@@ -3,18 +3,20 @@
 BASELINE config #5 — backprop straight through the physics, batch on the
 device; swap `make_mesh`/`sharded_train_step` in for multi-chip scaling.
 """
-import sys, time; sys.path.insert(0, ".")
+import os, sys, time; sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 import numpy as np
 import nimblephysics_tpu as nt
 
+SMOKE = bool(os.environ.get("NT_SMOKE"))  # CI smoke mode: tiny batch
 world, q0, v0 = nt.models.half_cheetah()
 engine = nt.neural.get_engine(world)
-B, HORIZON = 1024, 16
+B, HORIZON = (64, 4) if SMOKE else (1024, 16)
 key = jax.random.PRNGKey(0)
-params = {"w": 0.01 * jax.random.normal(key, (18, 6), jnp.float32),
-          "b": jnp.zeros(6, jnp.float32)}
+DT = jnp.zeros(0).dtype  # default float: f32 on TPU, f64 under x64 CI
+params = {"w": 0.01 * jax.random.normal(key, (18, 6), DT),
+          "b": jnp.zeros(6, DT)}
 
 def policy(p, s):
     return jnp.tanh(s @ p["w"] + p["b"]) * 3.0
@@ -34,8 +36,8 @@ def train_step(p, states):
     p = jax.tree.map(lambda x, gx: x - 3e-3 * gx, p, g)
     return p, states2, loss
 
-states = jnp.tile(jnp.asarray(np.concatenate([q0, v0]), jnp.float32)[None], (B, 1))
-for it in range(10):
+states = jnp.tile(jnp.asarray(np.concatenate([q0, v0]), DT)[None], (B, 1))
+for it in range(2 if SMOKE else 10):
     t0 = time.perf_counter()
     params, states, loss = train_step(params, states)
     jax.block_until_ready(loss)

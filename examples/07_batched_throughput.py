@@ -4,7 +4,7 @@ The batch-minor engine keeps the world batch in the TPU lane dimension;
 states are (2*nv, B) arrays. Run on a TPU host: `python examples/07_*.py`.
 """
 
-import sys; sys.path.insert(0, ".")  # run from the repo root
+import os, sys; sys.path.insert(0, ".")  # run from the repo root
 import time
 
 import jax
@@ -13,9 +13,11 @@ import jax.numpy as jnp
 from nimblephysics_tpu.batched import BatchedEngine
 from nimblephysics_tpu.models import half_cheetah
 
+SMOKE = bool(os.environ.get("NT_SMOKE"))  # CI smoke mode: tiny batch
 world, q0, v0 = half_cheetah()
 engine = BatchedEngine(world)
-B = 4096
+B = 256 if SMOKE else 4096
+LENGTH = 10 if SMOKE else 50
 q = jnp.tile(jnp.asarray(q0, jnp.float32)[:, None], (1, B))
 v = jnp.zeros((world.num_dofs, B), jnp.float32)
 u = engine.action_to_forces(
@@ -32,7 +34,7 @@ def rollout(q, v):
 
     (q, v, _), _ = jax.lax.scan(
         body, (q, v, jnp.zeros((engine.num_rows, B), jnp.float32)),
-        None, length=50,
+        None, length=LENGTH,
     )
     return q, v
 
@@ -41,4 +43,4 @@ q, v = jax.block_until_ready(rollout(q, v))  # compile
 t0 = time.perf_counter()
 q, v = jax.block_until_ready(rollout(q, v))
 dt = time.perf_counter() - t0
-print(f"{B * 50 / dt:,.0f} env-steps/sec")
+print(f"{B * LENGTH / dt:,.0f} env-steps/sec")

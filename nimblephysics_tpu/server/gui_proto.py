@@ -115,6 +115,11 @@ CMD_FIELD = {
     "delete_ui": 21,
     "set_slider_value": 25,
     "set_plot_data": 28,
+    "create_rich_plot": 29,
+    "set_rich_plot_data": 17,
+    "set_rich_plot_bounds": 30,
+    "set_ui_elem_pos": 19,
+    "set_ui_elem_size": 20,
 }
 
 
@@ -257,6 +262,41 @@ def encode_command(cmd: dict, keys: KeyCodes) -> Optional[bytes]:
         payload += _packed_floats(6, cmd.get("ys", ()))
         payload += _string(7, cmd.get("plot_type", "line"))
         return obj(payload, "create_plot")
+    if t == "create_rich_plot":
+        # GUI.proto CreateRichPlot: pos = 4 ints (from-top-left ++ size),
+        # bounds = [minX, maxX, minY, maxY].
+        payload = _int32(1, k)
+        payload += _packed_int32(
+            3, list(cmd.get("pos", (10, 130))) + list(cmd.get("size", (300, 200)))
+        )
+        payload += _packed_floats(4, cmd.get("bounds", (0, 1, 0, 1)))
+        payload += _string(5, cmd.get("title", ""))
+        payload += _string(6, cmd.get("x_axis_label", ""))
+        payload += _string(7, cmd.get("y_axis_label", ""))
+        return obj(payload, "create_rich_plot")
+    if t == "set_rich_plot_data":
+        payload = _int32(1, k)
+        payload += _string(2, cmd.get("name", ""))
+        payload += _string(3, cmd.get("color", ""))
+        payload += _string(4, cmd.get("plot_type", "line"))
+        payload += _packed_floats(6, cmd.get("xs", ()))
+        payload += _packed_floats(7, cmd.get("ys", ()))
+        return obj(payload, "set_rich_plot_data")
+    if t == "set_rich_plot_bounds":
+        payload = _int32(1, k)
+        payload += _packed_floats(4, cmd.get("bounds", (0, 1, 0, 1)))
+        return obj(payload, "set_rich_plot_bounds")
+    if t == "create_texture":
+        payload = _int32(1, k) + _string(2, cmd.get("base64", ""))
+        return obj(payload, "create_texture")
+    if t == "set_ui_elem_pos":
+        payload = _int32(1, k) + _packed_int32(2, cmd.get("pos", (0, 0)))
+        return obj(payload, "set_ui_elem_pos")
+    if t == "set_ui_elem_size":
+        payload = _int32(1, k) + _packed_int32(2, cmd.get("size", (0, 0)))
+        return obj(payload, "set_ui_elem_size")
+    if t == "delete_ui":
+        return obj(_int32(1, k), "delete_ui")
     return None
 
 

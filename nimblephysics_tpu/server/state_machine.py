@@ -30,6 +30,8 @@ class GUIStateMachine:
 
     def __init__(self):
         self._objects: Dict[str, dict] = {}
+        # Retained rich-plot data streams, keyed (plot_key, stream_name).
+        self._plot_data: Dict[tuple, dict] = {}
         self._queue: List[dict] = []
         self._lock = threading.Lock()
 
@@ -83,16 +85,31 @@ class GUIStateMachine:
                                offset=float(offset), color=_v(color),
                                layer=layer))
 
+    def _retain(self, key, **fields) -> None:
+        """Fold a mutation into the retained create command so late-joining
+        clients see current state (reference GUIStateMachine retains the
+        full scene, not the command history)."""
+        obj = self._objects.get(key)
+        if obj is not None:
+            # Copy-on-write: the pending queue may still hold the original
+            # create command; never rewrite queued history.
+            obj = dict(obj)
+            obj.update(fields)
+            self._objects[key] = obj
+
     def set_object_position(self, key, pos):
         with self._lock:
+            self._retain(key, pos=_v(pos))
             self._queue.append(dict(type="set_pos", key=key, pos=_v(pos)))
 
     def set_object_rotation(self, key, euler):
         with self._lock:
+            self._retain(key, euler=_v(euler))
             self._queue.append(dict(type="set_euler", key=key, euler=_v(euler)))
 
     def set_object_color(self, key, color):
         with self._lock:
+            self._retain(key, color=_v(color))
             self._queue.append(dict(type="set_color", key=key, color=_v(color)))
 
     def delete_object(self, key):
@@ -125,6 +142,70 @@ class GUIStateMachine:
     def set_text_contents(self, key, contents):
         with self._lock:
             self._queue.append(dict(type="set_text", key=key, contents=contents))
+
+    # -- rich plots (reference: createRichPlot/setRichPlotData/Bounds,
+    #    GUIStateMachine.hpp:420-447) ------------------------------------
+
+    def create_rich_plot(self, key, from_top_left, size, min_x, max_x,
+                         min_y, max_y, title="", x_axis_label="",
+                         y_axis_label=""):
+        self._create(key, dict(
+            type="create_rich_plot", key=key, pos=_v(from_top_left),
+            size=_v(size),
+            bounds=[float(min_x), float(max_x), float(min_y), float(max_y)],
+            title=title, x_axis_label=x_axis_label,
+            y_axis_label=y_axis_label))
+
+    def set_rich_plot_data(self, key, name, color, plot_type, xs, ys):
+        """One named data stream; same `name` overwrites (reference
+        setRichPlotData semantics). Streams are retained so late-joining
+        clients receive current plot contents."""
+        cmd = dict(type="set_rich_plot_data", key=key, name=name,
+                   color=color, plot_type=plot_type, xs=_v(xs), ys=_v(ys))
+        with self._lock:
+            self._plot_data[(key, name)] = cmd
+            self._queue.append(cmd)
+
+    def set_rich_plot_bounds(self, key, min_x, max_x, min_y, max_y):
+        bounds = [float(min_x), float(max_x), float(min_y), float(max_y)]
+        with self._lock:
+            self._retain(key, bounds=bounds)
+            self._queue.append(dict(
+                type="set_rich_plot_bounds", key=key, bounds=bounds))
+
+    # -- textures (reference: createTexture/createTextureFromFile) ------
+
+    def create_texture(self, key, base64_png: str):
+        self._create(key, dict(type="create_texture", key=key,
+                               base64=base64_png))
+
+    def create_texture_from_file(self, key, path: str):
+        import base64
+
+        with open(path, "rb") as f:
+            self.create_texture(key, base64.b64encode(f.read()).decode())
+
+    # -- UI element placement (reference: setUIElementPosition/Size,
+    #    deleteUIElement) ------------------------------------------------
+
+    def set_ui_element_position(self, key, from_top_left):
+        with self._lock:
+            self._retain(key, pos=_v(from_top_left))
+            self._queue.append(dict(type="set_ui_elem_pos", key=key,
+                                    pos=_v(from_top_left)))
+
+    def set_ui_element_size(self, key, size):
+        with self._lock:
+            self._retain(key, size=_v(size))
+            self._queue.append(dict(type="set_ui_elem_size", key=key,
+                                    size=_v(size)))
+
+    def delete_ui_element(self, key):
+        with self._lock:
+            self._objects.pop(key, None)
+            for k in [k for k in self._plot_data if k[0] == key]:
+                del self._plot_data[k]
+            self._queue.append(dict(type="delete_ui", key=key))
 
     # -- world rendering (reference: renderWorld, GUIStateMachine.cpp:46) ---
 
@@ -258,7 +339,9 @@ class GUIStateMachine:
 
     def full_state_commands(self) -> List[dict]:
         with self._lock:
-            return list(self._objects.values())
+            return list(self._objects.values()) + list(
+                self._plot_data.values()
+            )
 
     def flush_json(self) -> Optional[str]:
         """Drain pending commands as one JSON CommandList message."""

@@ -75,7 +75,9 @@ def test_ws_events_roundtrip(server):
     keys = []
     server.register_keydown_listener(lambda k: keys.append(k))
 
-    with wsc.connect(f"ws://127.0.0.1:{server.ws_port}") as ws:
+    # The viewer speaks JSON on the /json mirror (the default path carries
+    # the reference-protobuf CommandList wire).
+    with wsc.connect(f"ws://127.0.0.1:{server.ws_port}/json") as ws:
         first = json.loads(ws.recv(timeout=5))
         cmds = first["commands"]
         assert any(c["type"].startswith("create_") for c in cmds)

@@ -44,6 +44,18 @@ def _sample_commands():
     sm.set_object_color("box1", (0, 1, 0, 1))
     sm.create_text("hud", "hello", from_top_left=(5, 6), size=(100, 20))
     sm.create_button("b", "go", from_top_left=(1, 2), size=(40, 20))
+    sm.create_rich_plot(
+        "rp", from_top_left=(10, 10), size=(300, 200), min_x=0, max_x=2,
+        min_y=-1, max_y=1, title="Torque", x_axis_label="t",
+        y_axis_label="Nm",
+    )
+    sm.set_rich_plot_data("rp", "knee", "#ff0000", "line",
+                          xs=[0, 1, 2], ys=[0.5, -0.5, 0.25])
+    sm.set_rich_plot_bounds("rp", 0, 3, -2, 2)
+    sm.create_texture("tex", "aGVsbG8=")
+    sm.set_ui_element_position("b", (50, 60))
+    sm.set_ui_element_size("b", (80, 25))
+    sm.delete_ui_element("rp")
     sm.delete_object("ball")
     return sm.flush_commands()
 
@@ -65,6 +77,13 @@ def test_roundtrip_own_decoder():
         "set_color",
         "create_text",
         "create_button",
+        "create_rich_plot",
+        "set_rich_plot_data",
+        "set_rich_plot_bounds",
+        "create_texture",
+        "set_ui_elem_pos",
+        "set_ui_elem_size",
+        "delete_ui",
         "delete",
     ]
     # Box: data = size ++ pos ++ euler ++ color (GUI.proto CreateBox).
@@ -82,6 +101,14 @@ def test_roundtrip_own_decoder():
     text = decoded[8][1]
     assert text[4][0][1].decode() == "hello"
     assert unpack_int32s(text[3][0][1]) == [5, 6, 100, 20]
+    # Rich plot: pos = from-top-left ++ size, bounds, labels.
+    rp = decoded[10][1]
+    assert unpack_int32s(rp[3][0][1]) == [10, 10, 300, 200]
+    np.testing.assert_allclose(unpack_floats(rp[4][0][1]), [0, 2, -1, 1])
+    assert rp[5][0][1].decode() == "Torque"
+    rpd = decoded[11][1]
+    assert rpd[2][0][1].decode() == "knee"
+    np.testing.assert_allclose(unpack_floats(rpd[6][0][1]), [0, 1, 2])
 
 
 @pytest.mark.skipif(
@@ -119,7 +146,7 @@ def test_decodes_against_reference_schema():
     frame = encode_command_list(cmds, KeyCodes())
     msg = CommandList()
     msg.ParseFromString(frame)
-    assert len(msg.command) == 11
+    assert len(msg.command) == 18
     c0 = msg.command[0]
     assert c0.WhichOneof("command") == "box"
     np.testing.assert_allclose(
@@ -153,7 +180,38 @@ def test_decodes_against_reference_schema():
     assert list(txt.pos) == [5, 6, 100, 20]
     btn = msg.command[9].button
     assert btn.label == "go"
-    assert msg.command[10].WhichOneof("command") == "delete_object"
+    rp = msg.command[10]
+    assert rp.WhichOneof("command") == "rich_plot"
+    assert list(rp.rich_plot.pos) == [10, 10, 300, 200]
+    np.testing.assert_allclose(list(rp.rich_plot.bounds), [0, 2, -1, 1])
+    assert rp.rich_plot.title == "Torque"
+    assert rp.rich_plot.x_axis_label == "t"
+    assert rp.rich_plot.y_axis_label == "Nm"
+    rpd = msg.command[11]
+    assert rpd.WhichOneof("command") == "set_rich_plot_data"
+    assert rpd.set_rich_plot_data.name == "knee"
+    assert rpd.set_rich_plot_data.color == "#ff0000"
+    assert rpd.set_rich_plot_data.plot_type == "line"
+    np.testing.assert_allclose(list(rpd.set_rich_plot_data.xs), [0, 1, 2])
+    np.testing.assert_allclose(
+        list(rpd.set_rich_plot_data.ys), [0.5, -0.5, 0.25]
+    )
+    rpb = msg.command[12]
+    assert rpb.WhichOneof("command") == "set_rich_plot_bounds"
+    np.testing.assert_allclose(
+        list(rpb.set_rich_plot_bounds.bounds), [0, 3, -2, 2]
+    )
+    tex = msg.command[13]
+    assert tex.WhichOneof("command") == "texture"
+    assert tex.texture.base64 == "aGVsbG8="
+    uip = msg.command[14]
+    assert uip.WhichOneof("command") == "set_ui_elem_pos"
+    assert list(uip.set_ui_elem_pos.fromTopLeft) == [50, 60]
+    uis = msg.command[15]
+    assert uis.WhichOneof("command") == "set_ui_elem_size"
+    assert list(uis.set_ui_elem_size.size) == [80, 25]
+    assert msg.command[16].WhichOneof("command") == "delete_ui_elem"
+    assert msg.command[17].WhichOneof("command") == "delete_object"
 
 
 def test_server_broadcasts_proto_frames():
