@@ -37,6 +37,7 @@ def __getattr__(name):
         "models": "nimblephysics_tpu.models",
         "parallel": "nimblephysics_tpu.parallel",
         "performance": "nimblephysics_tpu.performance",
+        "torch_api": "nimblephysics_tpu.torch_api",
     }
     if name in _lazy:
         return importlib.import_module(_lazy[name])
