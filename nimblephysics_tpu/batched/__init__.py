@@ -12,3 +12,4 @@ Public surface:
 """
 
 from nimblephysics_tpu.batched.engine import BatchedEngine, BatchedStepResult
+from nimblephysics_tpu.batched.lcp import LCP_REMAT_POLICY

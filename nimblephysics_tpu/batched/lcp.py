@@ -343,6 +343,8 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
 
     Args: F (n, r, B), b/mu/z_warm (n, B). Returns z (n, B).
     """
+    from jax.ad_checkpoint import checkpoint_name
+
     sg = jax.lax.stop_gradient
     Fs, bs, mus = sg(F), sg(b), sg(mu)
     if meta.solver == "apgd":
@@ -353,16 +355,27 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
         z_seed = apgd_seed_tpu(meta, F, b, mu, z_warm, cfm)
     else:
         z_seed = _pgs(meta, F, cfm, b, mu, z_warm)
+    # Named for LCP_REMAT_POLICY (see module bottom): saving the seed and
+    # the refined active-set masks lets jax.checkpoint's backward-recompute
+    # prune the APGD iterations and every refine-round pinned solve —
+    # recompute rebuilds only FK/M/Cholesky/collide + ONE pinned solve.
+    z_seed = checkpoint_name(z_seed, "lcp_seed")
     clamping, upper, at_hi = _classify(meta, Fs, cfm, bs, mus, sg(z_seed))
     sign_u = jnp.sign(sg(z_seed))
     for _ in range(meta.refine_rounds):
         clamping, upper, sign_u, at_hi = _refine_masks(
             meta, Fs, cfm, bs, mus, clamping, upper, sign_u, at_hi
         )
+    clamping = checkpoint_name(clamping, "lcp_masks")
+    upper = checkpoint_name(upper, "lcp_masks")
+    at_hi = checkpoint_name(at_hi, "lcp_masks")
+    sign_u = checkpoint_name(sign_u, "lcp_masks")
     z_pol = _pinned_solve(
         meta, F, cfm, b, mu, clamping, upper, sign_u, at_hi=at_hi
     )
-    valid = sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_pol)))
+    valid = checkpoint_name(
+        sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_pol))), "lcp_masks"
+    )
 
     if fallback_cfm:
         # Ladder rungs are LAZY: lax.cond on "any world failed validity"
@@ -401,3 +414,17 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
     else:
         z_fb = z_seed
     return jnp.where(valid[None, :], z_pol, z_fb)
+
+
+# Remat policy for training rollouts: `jax.checkpoint(step, policy=
+# LCP_REMAT_POLICY)` saves ONLY the LCP seed + active-set masks (a few
+# (n, B) arrays per step — KBs against the step's MBs of intermediates).
+# The backward-pass recompute then dead-code-eliminates the APGD solver
+# iterations and the refine-round pinned solves, re-running just the
+# smooth dynamics + one differentiable pinned solve. The reference's
+# analog: BackpropSnapshot caches the clamping/upper-bound index sets at
+# forward time and replays only the implicit solve in the backward
+# (dart/neural/BackpropSnapshot.cpp:868-923).
+LCP_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "lcp_seed", "lcp_masks"
+)

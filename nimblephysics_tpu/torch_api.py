@@ -521,6 +521,146 @@ class MarkerMocap:
 
 
 # ---------------------------------------------------------------------------
+# NativeLossFn / NativeTrajectoryRollout
+# (python/nimblephysics/native_trajectory_support.py parity)
+# ---------------------------------------------------------------------------
+
+
+class NativeTrajectoryRollout:
+    """Torch view of a trajectory rollout so user losses autograd over it.
+
+    Reference: NativeTrajectoryRollout (native_trajectory_support.py:7-50)
+    — per-mapping poses/vels/forces as requires_grad torch tensors. The
+    main trajectory is the "identity" mapping; extra mappings registered
+    on the Problem appear under their names. Matrices are (T, dim)
+    (time-major, our layout) rather than the reference's (dim, T)."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray]):
+        _require_torch()
+        self._names = sorted(
+            {k.rsplit("/", 1)[0] for k in arrays if k != "masses"}
+        )
+        self.posTensors: Dict[str, torch.Tensor] = {}
+        self.velTensors: Dict[str, torch.Tensor] = {}
+        self.forceTensors: Dict[str, torch.Tensor] = {}
+        for n in self._names:
+            self.posTensors[n] = torch.tensor(
+                np.asarray(arrays[n + "/pos"], np.float64),
+                requires_grad=True,
+            )
+            self.velTensors[n] = torch.tensor(
+                np.asarray(arrays[n + "/vel"], np.float64),
+                requires_grad=True,
+            )
+            if n + "/force" in arrays:
+                self.forceTensors[n] = torch.tensor(
+                    np.asarray(arrays[n + "/force"], np.float64),
+                    requires_grad=True,
+                )
+        self.massTensor: torch.Tensor = torch.tensor(
+            np.asarray(arrays.get("masses", np.zeros(0)), np.float64),
+            requires_grad=True,
+        )
+
+    def getMappings(self) -> List[str]:
+        return list(self._names)
+
+    def getPoses(self, mapping: str = "identity") -> "torch.Tensor":
+        return self.posTensors[mapping]
+
+    def getVels(self, mapping: str = "identity") -> "torch.Tensor":
+        return self.velTensors[mapping]
+
+    def getControlForces(self, mapping: str = "identity") -> "torch.Tensor":
+        return self.forceTensors[mapping]
+
+    def getMasses(self) -> "torch.Tensor":
+        return self.massTensor
+
+    def _grads(self, keys: List[str]) -> List[np.ndarray]:
+        """Gradient arrays in `keys` order (zeros where .grad is None) —
+        the reference's fill_gradients, returned instead of copied out."""
+        out = []
+        for k in keys:
+            if k == "masses":
+                t, g = self.massTensor, self.massTensor.grad
+            else:
+                n, kind = k.rsplit("/", 1)
+                t = {
+                    "pos": self.posTensors,
+                    "vel": self.velTensors,
+                    "force": self.forceTensors,
+                }[kind][n]
+                g = t.grad
+            out.append(
+                np.zeros(t.shape, np.float64)
+                if g is None
+                else g.detach().numpy().astype(np.float64)
+            )
+        return out
+
+
+def NativeLossFn(fn: Callable) -> Callable:
+    """Wrap a PyTorch loss `fn(NativeTrajectoryRollout) -> torch scalar`
+    as a JAX-traceable trajectory LossFn.
+
+    Reference: NativeLossFn (native_trajectory_support.py:53-66) bridges a
+    torch loss into the C++ trajectory optimizers via loss/gradAndLoss
+    callbacks. Here the bridge is jax.custom_vjp + jax.pure_callback: the
+    returned LossFn participates in `jax.grad` through the Problem, with
+    the forward and the torch-autograd backward escaping to the host.
+    Usable directly as the `loss_fn` of SingleShot / MultiShot."""
+    _require_torch()
+
+    def loss(rollout) -> "jnp.ndarray":
+        keys = ["identity/pos", "identity/vel", "identity/force"]
+        arrays = [rollout.poses, rollout.vels, rollout.forces]
+        for n in sorted(rollout.mapped.keys()):
+            keys += [n + "/pos", n + "/vel"]
+            arrays += [rollout.mapped[n]["pos"], rollout.mapped[n]["vel"]]
+        dtype = rollout.poses.dtype
+
+        def host_loss(*arrs):
+            view = NativeTrajectoryRollout(
+                {k: np.asarray(a) for k, a in zip(keys, arrs)}
+            )
+            return np.asarray(float(fn(view)), dtype=dtype)
+
+        def host_grads(*arrs):
+            view = NativeTrajectoryRollout(
+                {k: np.asarray(a) for k, a in zip(keys, arrs)}
+            )
+            fn(view).backward()
+            return tuple(
+                g.astype(dtype) for g in view._grads(keys)
+            )
+
+        @jax.custom_vjp
+        def f(*arrs):
+            return jax.pure_callback(
+                host_loss, jax.ShapeDtypeStruct((), dtype), *arrs
+            )
+
+        def f_fwd(*arrs):
+            return f(*arrs), arrs
+
+        def f_bwd(arrs, g):
+            grads = jax.pure_callback(
+                host_grads,
+                tuple(
+                    jax.ShapeDtypeStruct(a.shape, dtype) for a in arrs
+                ),
+                *arrs,
+            )
+            return tuple(g * gr for gr in grads)
+
+        f.defvjp(f_fwd, f_bwd)
+        return f(*arrays)
+
+    return loss
+
+
+# ---------------------------------------------------------------------------
 # MotionDynamicsDataset (motion_dynamics_dataset.py parity)
 # ---------------------------------------------------------------------------
 

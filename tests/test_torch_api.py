@@ -12,6 +12,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax
 import jax.numpy as jnp
 
 from nimblephysics_tpu import torch_api as T
@@ -285,6 +286,74 @@ class TestMarkerMocap:
         assert len(calls) == 2
         assert res.avg_marker_error < 0.05
         assert np.all(np.isfinite(res.poses))
+
+
+class TestNativeLossFn:
+    def _problem(self, loss_fn):
+        from nimblephysics_tpu.trajectory.problem import SingleShot
+
+        world, q0, v0 = cartpole()
+        world.set_action_space([0])
+        prob = SingleShot(world, loss_fn, steps=8)
+        x0 = prob.initial_guess(jnp.asarray(np.concatenate([q0, v0]) + 0.05))
+        return prob, x0
+
+    def test_grad_matches_jax_loss(self):
+        # Same loss expressed in torch (NativeLossFn) and in pure JAX must
+        # produce identical gradients through the rollout.
+        def torch_loss(ro: T.NativeTrajectoryRollout):
+            return (ro.getPoses()[-1] ** 2).sum() + 0.1 * (
+                ro.getControlForces() ** 2
+            ).sum()
+
+        def jax_loss(ro):
+            return jnp.sum(ro.poses[-1] ** 2) + 0.1 * jnp.sum(ro.forces**2)
+
+        prob_t, x0 = self._problem(T.NativeLossFn(torch_loss))
+        prob_j, _ = self._problem(jax_loss)
+        l_t = float(prob_t.loss(x0))
+        l_j = float(prob_j.loss(x0))
+        assert l_t == pytest.approx(l_j, rel=1e-12)
+        g_t = jax.grad(prob_t.loss)(x0)
+        g_j = jax.grad(prob_j.loss)(x0)
+        np.testing.assert_allclose(
+            np.asarray(g_t), np.asarray(g_j), rtol=1e-9, atol=1e-12
+        )
+
+    def test_optimizes_under_jit(self):
+        from nimblephysics_tpu.trajectory.optimizers import SGDOptimizer
+
+        def torch_loss(ro: T.NativeTrajectoryRollout):
+            return (ro.getPoses()[-1] ** 2).sum() + (
+                ro.getVels()[-1] ** 2
+            ).sum()
+
+        prob, x0 = self._problem(T.NativeLossFn(torch_loss))
+        l0 = float(prob.loss(x0))
+        sol = SGDOptimizer(iterations=25, learning_rate=0.05).optimize(
+            prob, x0
+        )
+        assert float(prob.loss(sol.x)) < l0
+
+    def test_mapped_spaces_visible_to_torch(self):
+        from nimblephysics_tpu.neural.mappings import IKMapping
+        from nimblephysics_tpu.trajectory.problem import SingleShot
+
+        world, q0, v0 = cartpole()
+        world.set_action_space([0])
+        m = IKMapping(world)
+        m.add_linear_body_node(1)
+
+        def torch_loss(ro: T.NativeTrajectoryRollout):
+            assert "pole" in ro.getMappings()
+            return ((ro.getPoses("pole")[-1, 0] - 0.2) ** 2).sum()
+
+        prob = SingleShot(world, T.NativeLossFn(torch_loss), steps=6)
+        prob.add_mapping("pole", m)
+        x0 = prob.initial_guess(jnp.zeros(4))
+        g = jax.grad(prob.loss)(x0)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
 
 
 class TestMotionDynamicsDataset:
