@@ -20,13 +20,19 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 4096
-INNER_STEPS = 20
+# One jitted call scans INNER_STEPS physics steps. The fixed dispatch
+# cost of a device call is ~30 ms on this host (axon tunnel) against
+# ~1 ms/step of on-chip compute for 4096 worlds, so short scans measure
+# the launch path, not the engine; 100 steps amortizes dispatch below 20%
+# and matches how RL users actually roll out (episodes >> 100 steps).
+INNER_STEPS = 100
+TRAIN_HORIZON = 50
 REPEATS = 3
 BASELINE_STEPS_PER_SEC = 1_000_000.0  # north-star target
 
 
 def main():
-    from nimblephysics_tpu.batched import BatchedEngine
+    from nimblephysics_tpu.batched import LCP_REMAT_POLICY, BatchedEngine
     from nimblephysics_tpu.models import half_cheetah
 
     world, q0, v0 = half_cheetah()
@@ -94,8 +100,6 @@ def main():
         h = jnp.tanh(p["w1"] @ s + p["b1"])
         return p["w2"] @ h + p["b2"]
 
-    TRAIN_HORIZON = 10
-
     def rollout_loss(p, q, v, z):
         def body(c, _):
             q, v, z = c
@@ -104,11 +108,19 @@ def main():
             r = engine.step(q, v, u, z_warm=z)
             return (r.q, r.v, r.impulses), r.v[0]
 
-        # Rematerialize each step in the backward pass: the step's
-        # intermediates are bandwidth, not FLOPs — recomputing beats
-        # spilling them to HBM (+15% measured on v5e).
+        # Rematerialize each step in the backward pass, but SAVE the LCP
+        # seed + active-set masks (LCP_REMAT_POLICY) and matmul outputs
+        # (dots_saveable): the recompute then skips the APGD solver
+        # iterations and refine-round pinned solves entirely. Measured
+        # +15% over no remat and +6% over plain jax.checkpoint on v5e.
+        pol = jax.checkpoint_policies.save_from_both_policies(
+            LCP_REMAT_POLICY, jax.checkpoint_policies.dots_saveable
+        )
         (qf, vf, zf), vels = jax.lax.scan(
-            jax.checkpoint(body), (q, v, z), None, length=TRAIN_HORIZON
+            jax.checkpoint(body, policy=pol),
+            (q, v, z),
+            None,
+            length=TRAIN_HORIZON,
         )
         # Forward-progress policy-gradient surrogate: maximize root x-vel.
         return -jnp.mean(vels), (qf, vf, zf)

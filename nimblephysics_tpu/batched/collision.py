@@ -223,8 +223,8 @@ def _box_face_manifold_b(R_r, p_r, h_r, R_i, p_i, h_i, face_idx, flip_normal):
     corners3d = jnp.stack(
         [
             inc_center
-            + corner_signs[c, 0] * hi_u[None, :] * iu
-            + corner_signs[c, 1] * hi_v[None, :] * iv
+            + float(corner_signs[c, 0]) * hi_u[None, :] * iu
+            + float(corner_signs[c, 1]) * hi_v[None, :] * iv
             for c in range(4)
         ]
     )  # (4, 3, B)
@@ -368,6 +368,10 @@ def box_box_b(R_a, p_a, half_a, R_b, p_b, half_b):
     B = p_a.shape[-1]
     ha = np.asarray(half_a, dtype=np.float64)
     hb = np.asarray(half_b, dtype=np.float64)
+    # jnp constants at the engine dtype: bare numpy scalars are strongly
+    # typed and would promote the whole manifold to f64 under x64.
+    ha_j = jnp.asarray(ha, dtype=dtype)
+    hb_j = jnp.asarray(hb, dtype=dtype)
     C = bl.mtm(R_a, R_b)  # (3, 3, B): R_a^T R_b
     absC = jnp.abs(C) + 1e-9
     t = bl.mtv(R_a, p_b - p_a)  # (3, B)
@@ -376,7 +380,7 @@ def box_box_b(R_a, p_a, half_a, R_b, p_b, half_b):
     # Face axes of A (3).
     for i in range(3):
         sep = jnp.abs(t[i]) - (
-            ha[i] + jnp.sum(absC[i] * hb[:, None], axis=0)
+            ha_j[i] + jnp.sum(absC[i] * hb_j[:, None], axis=0)
         )
         world_axes.append(R_a[:, i] * jnp.sign(t[i] + 1e-30)[None, :])
         seps.append(sep)
@@ -385,7 +389,7 @@ def box_box_b(R_a, p_a, half_a, R_b, p_b, half_b):
     tb = bl.mtv(C, t)  # C^T t: A->B center offset in B frame
     for j in range(3):
         sep = jnp.abs(tb[j]) - (
-            hb[j] + jnp.sum(absC[:, j] * ha[:, None], axis=0)
+            hb_j[j] + jnp.sum(absC[:, j] * ha_j[:, None], axis=0)
         )
         world_axes.append(R_b[:, j] * jnp.sign(tb[j] + 1e-30)[None, :])
         seps.append(sep)
@@ -401,8 +405,8 @@ def box_box_b(R_a, p_a, half_a, R_b, p_b, half_b):
             u = jnp.where(degen[None, :], 0.0, axis) / jnp.where(
                 degen, 1.0, norm
             )[None, :]
-            ra = jnp.sum(ha[:, None] * jnp.abs(bl.mtv(R_a, u)), axis=0)
-            rb = jnp.sum(hb[:, None] * jnp.abs(bl.mtv(R_b, u)), axis=0)
+            ra = jnp.sum(ha_j[:, None] * jnp.abs(bl.mtv(R_a, u)), axis=0)
+            rb = jnp.sum(hb_j[:, None] * jnp.abs(bl.mtv(R_b, u)), axis=0)
             dist = bl.dot(u, p_b - p_a)
             sep = jnp.abs(dist) - (ra + rb)
             sep = jnp.where(

@@ -171,10 +171,21 @@ def rodrigues(axis_K, axis_K2, theta, dtype):
     return I + const(axis_K, dtype) * s + const(axis_K2, dtype) * c1
 
 
+def _taylor_thresh(dtype):
+    """theta^2 cutoff for small-angle Taylor branches, dtype-aware.
+
+    Must be LARGE enough that the generic branch's derivatives never see
+    theta^4 underflow to subnormals (f32: theta ~ 1e-11 makes theta^4 ~
+    1e-44 -> inf*0 -> NaN in jvp through (1-cos t)/t^2 — the box-stack
+    f32 blowup), and small enough that the Taylor error is below machine
+    eps. t2 < finfo.eps gives Taylor error O(t2^2) < eps^2 on both sides."""
+    return float(jnp.finfo(dtype).eps)
+
+
 def exp_so3(w):
     """Batched exp map: (3, B) -> (3, 3, B), AD-safe at ||w|| -> 0."""
     t2 = jnp.sum(w * w, axis=0)
-    small = t2 < 1e-24
+    small = t2 < _taylor_thresh(w.dtype)
     t2s = jnp.where(small, 1.0, t2)
     t = jnp.sqrt(t2s)
     # sin(t)/t and (1-cos t)/t^2 with Taylor guards.
@@ -194,7 +205,7 @@ def so3_right_jacobian_b(w):
     Jr(w) = I - (1-cos t)/t^2 [w]x + (t - sin t)/t^3 [w]x^2, Taylor-guarded.
     """
     t2 = jnp.sum(w * w, axis=0)
-    small = t2 < 1e-24
+    small = t2 < _taylor_thresh(w.dtype)
     t2s = jnp.where(small, 1.0, t2)
     t = jnp.sqrt(t2s)
     b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2s)
@@ -208,14 +219,24 @@ def so3_right_jacobian_b(w):
 def log_so3(R):
     """Batched log map: (3, 3, B) -> (3, B), AD-safe near identity and pi.
 
-    Mirrors math/lie.py log_map_rot's double-where guards.
+    Mirrors math/lie.py log_map_rot's double-where guards. The angle
+    comes from atan2(|antisym|/2, cos) — NOT arccos: the vjp of
+    arccos at cos = +-1 is 0 * inf = NaN even when the downstream
+    cotangent is zero (an identity rotation anywhere in the batch
+    poisoned the whole backward pass — the box-stack NaN).
     """
     tr = R[0, 0] + R[1, 1] + R[2, 2]
     cos_t = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    t = jnp.arccos(cos_t)
     v = jnp.stack(
         [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
     )
+    # ||v|| = 2 sin t; guard the sqrt where sin t -> 0 (t = 0 AND t = pi).
+    asq = jnp.sum(v * v, axis=0)
+    a_degen = asq < 4.0 * _taylor_thresh(R.dtype)
+    sin_raw = 0.5 * jnp.sqrt(jnp.where(a_degen, 1.0, asq))
+    t_gen = jnp.arctan2(sin_raw, cos_t)
+    t_degen = jnp.where(cos_t > 0.0, 0.0, jnp.pi)
+    t = jnp.where(a_degen, t_degen, t_gen)
     sin_t = jnp.sin(t)
     small = jnp.abs(sin_t) < 1e-6
     near_pi = cos_t < -1.0 + 1e-6

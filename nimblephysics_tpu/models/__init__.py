@@ -9,6 +9,7 @@ from nimblephysics_tpu.models.builtin import (
     half_cheetah,
     inverted_double_pendulum,
     box_drop,
+    box_stack,
 )
 from nimblephysics_tpu.models.human import (
     human_standing,

@@ -310,3 +310,56 @@ def box_drop(
     q0 = np.zeros(6)
     q0[5] = height
     return w, q0, np.zeros(6)
+
+
+def box_stack(
+    n_boxes: int = 2,
+    size: float = 0.2,
+    friction: float = 0.9,
+) -> Tuple[World, np.ndarray, np.ndarray]:
+    """`n_boxes` free boxes stacked on a ground plane — the box-box SAT
+    manifold workload (Atlas-class contact pairs). Each box is 75% the
+    size of the one below; q0 stacks them in near-resting contact.
+
+    Exercises the batched native box-box clipped-SAT path
+    (batched/collision.box_box_b; reference narrowphase:
+    dart/collision/dart/DARTCollide.cpp:1452 dBoxBox)."""
+    w = World(name="box_stack", time_step=0.001)
+    sizes = [size * (0.75**i) for i in range(n_boxes)]
+    for i, s in enumerate(sizes):
+        sk = Skeleton(f"box{i}")
+        sk.add_joint_and_body(
+            FREE,
+            name=f"box{i}",
+            mass=1.0,
+            inertia=np.asarray(inertia_box(1.0, np.full(3, s))),
+            shapes=(
+                ShapeSpec(
+                    "box",
+                    np.full(3, s, dtype=np.float64),
+                    friction=friction,
+                ),
+            ),
+        )
+        w.add_skeleton(sk)
+    ground = Skeleton("ground")
+    ground.add_joint_and_body(
+        WELD,
+        name="ground",
+        mass=1.0,
+        shapes=(
+            ShapeSpec(
+                "plane",
+                np.array([0.0, 0.0, 1.0, 0.0]),
+                friction=friction,
+            ),
+        ),
+    )
+    w.add_skeleton(ground)
+    q0 = np.zeros(6 * n_boxes)
+    z = 0.0
+    for i, s in enumerate(sizes):
+        z += s / 2.0
+        q0[6 * i + 5] = z - 1e-4  # a hair into contact
+        z += s / 2.0
+    return w, q0, np.zeros(6 * n_boxes)

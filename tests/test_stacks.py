@@ -6,6 +6,7 @@ Mirrors the reference's sphere-stack / multi-group island gradient tests
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nimblephysics_tpu.math import finite_difference_jacobian
 from nimblephysics_tpu.neural.timestep import Engine
@@ -20,6 +21,120 @@ def stack_world():
     w.add_skeleton(free_box(size=(0.15, 0.15, 0.15), friction=0.9))
     w.add_skeleton(ground_plane())
     return w, Engine(w)
+
+
+class TestF32TinyRotation:
+    def test_f32_free_joint_tiny_rotation_no_nan(self):
+        """Regression: f32 free-joint states with tiny-but-nonzero rotation
+        (theta ~ 1e-11, as produced by settling contact) must not NaN.
+
+        The small-angle Taylor guards were theta^2 < 1e-24 (f64-tuned): in
+        f32 theta ~ 1e-11 took the generic branch, whose jvp (Coriolis
+        terms) divides by theta^4 ~ 1e-44 — subnormal — giving inf * 0 =
+        NaN in bias_forces. Guards are now dtype-aware
+        (batched/linalg._taylor_thresh)."""
+        from nimblephysics_tpu.batched import BatchedEngine
+        from nimblephysics_tpu.models import box_stack
+
+        world, q0, v0 = box_stack(n_boxes=2)
+        eng = BatchedEngine(world)
+        B = 4
+        dtype = jnp.float32
+        q = jnp.tile(jnp.asarray(q0, dtype)[:, None], (1, B))
+        # The exact failure signature: rotation coords ~1e-11.
+        q = q.at[0].add(1.1e-11).at[1].add(-6.4e-12)
+        q = q.at[8].add(0.18)  # top-box yaw (SAT feature variation)
+        v = jnp.tile(jnp.asarray(v0, dtype)[:, None], (1, B))
+        u = jnp.zeros_like(q)
+        z = jnp.zeros((eng.num_rows, B), dtype)
+
+        def body(c, _):
+            q, v, z = c
+            r = eng.step(q, v, u, z_warm=z)
+            return (r.q, r.v, r.impulses), None
+
+        (qf, vf, zf), _ = jax.lax.scan(body, (q, v, z), None, length=50)
+        assert bool(jnp.isfinite(qf).all()), "q NaN"
+        assert bool(jnp.isfinite(vf).all()), "v NaN"
+        assert bool(jnp.isfinite(zf).all()), "impulses NaN"
+
+
+class TestLogSo3BackwardGuards:
+    """Regression: log_so3's angle must NOT come from arccos.
+
+    The vjp of arccos at cos = +-1 is cotangent * -1/sqrt(1-cos^2) =
+    0 * inf = NaN, so a single identity rotation anywhere in the batch
+    (every box_stack world at t=0) poisoned the whole rollout gradient
+    — even in f64, even though every downstream use was where-guarded.
+    log_so3 now mirrors math/lie.log_map_rot: atan2(|antisym|/2, cos)
+    with a double-where on the sqrt (degenerate at theta = 0 AND pi).
+    """
+
+    @pytest.mark.parametrize("theta", [0.0, 1e-12, 1e-7, 0.3, 3.1, np.pi])
+    def test_log_so3_grad_finite_all_angles(self, theta):
+        from nimblephysics_tpu.batched import linalg as bl
+
+        ax = np.array([0.3, -0.5, 0.8])
+        ax /= np.linalg.norm(ax)
+        w = jnp.asarray((theta * ax)[:, None])
+
+        def roundtrip(w):
+            return jnp.sum(bl.log_so3(bl.exp_so3(w)))
+
+        val = bl.log_so3(bl.exp_so3(w))
+        if theta < 3.0:  # log is multivalued at the pi cut
+            np.testing.assert_allclose(
+                np.asarray(val), np.asarray(w), atol=1e-12
+            )
+        g = jax.grad(roundtrip)(w)
+        assert bool(jnp.isfinite(g).all())
+
+    def test_free_joint_integrate_grad_finite_at_identity(self):
+        """The failing composition: integrate_positions on a FREE joint at
+        the exact-identity orientation (log_so3(exp(0) exp(0)))."""
+        from nimblephysics_tpu.batched.articulated import integrate_positions
+        from nimblephysics_tpu.batched.engine import BatchedEngine
+        from nimblephysics_tpu.models import box_stack
+
+        world, q0, v0 = box_stack(n_boxes=2)
+        eng = BatchedEngine(world)
+        B = 2
+        q = jnp.tile(jnp.asarray(q0)[:, None], (1, B))
+        v = jnp.tile(jnp.asarray(v0)[:, None], (1, B))
+
+        gq, gv = jax.grad(
+            lambda q, v: jnp.sum(integrate_positions(eng.fw, q, v, 1e-3)),
+            argnums=(0, 1),
+        )(q, v)
+        assert bool(jnp.isfinite(gq).all()) and bool(jnp.isfinite(gv).all())
+
+
+class TestBoxStackModel:
+    def test_box_stack_factory_rests_batched(self):
+        """Bundled box_stack model (benchmarks/boxstack_bench.py workload)
+        runs on the batched engine and the stack stays standing."""
+        from nimblephysics_tpu.batched import BatchedEngine
+        from nimblephysics_tpu.models import box_stack
+
+        world, q0, v0 = box_stack(n_boxes=2)
+        eng = BatchedEngine(world)
+        B = 4
+        q = jnp.tile(jnp.asarray(q0)[:, None], (1, B))
+        v = jnp.tile(jnp.asarray(v0)[:, None], (1, B))
+        u = jnp.zeros_like(q)
+        z = jnp.zeros((eng.num_rows, B), q.dtype)
+
+        def body(c, _):
+            q, v, z = c
+            r = eng.step(q, v, u, z_warm=z)
+            return (r.q, r.v, r.impulses), None
+
+        (qf, vf, _), _ = jax.lax.scan(body, (q, v, z), None, length=200)
+        # Top box still at its stacked height in every world.
+        np.testing.assert_allclose(
+            np.asarray(qf[11]), q0[11], atol=8e-3
+        )
+        assert float(jnp.abs(vf).max()) < 5e-2
 
 
 class TestBoxStack:
