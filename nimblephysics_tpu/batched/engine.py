@@ -459,6 +459,9 @@ class BatchedEngine:
             z = boxed_lcp_b(
                 self.meta, F, b, mu, z_warm, cfm=w.solver.cfm,
                 fallback_cfm=w.solver.fallback_cfm,
+                fallback_gradients=getattr(
+                    w.solver, "fallback_gradients", False
+                ),
             )
             u = jnp.sum(F * z[:, None, :], axis=0)  # (nv, B)
             v_next = v_pre + bl.solve_tri_upper_t_vec(L, u)

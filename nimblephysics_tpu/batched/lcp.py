@@ -336,10 +336,18 @@ def _lcp_valid(meta: LcpMeta, F, cfm, b, mu, z):
     return jnp.all(ok_n & ok_f, axis=0) & finite
 
 
-def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
+def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4,
+                fallback_gradients=False):
     """Batch-minor boxed LCP solve; see constraint/lcp.boxed_lcp
     (including the CFM-softened / ignore-friction failure ladder,
     BoxedLcpConstraintSolver.cpp:392-646 parity).
+
+    fallback_gradients=False (default) stop-gradients the ladder output:
+    worlds whose primary pinned solve failed validity keep their robust
+    forward impulse but contribute zero impulse gradient — matching the
+    reference, which never differentiates its secondary-solver path, and
+    keeping the ladder's lax.cond out of the backward pass (its VJP
+    costs ~30% of a training step even when no world takes the ladder).
 
     Args: F (n, r, B), b/mu/z_warm (n, B). Returns z (n, B).
     """
@@ -411,9 +419,15 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
         z_fb = jax.lax.cond(
             jnp.all(valid), lambda _: z_seed, run_ladder, None
         )
+        if not fallback_gradients:
+            z_fb = sg(z_fb)
     else:
-        z_fb = z_seed
-    return jnp.where(valid[None, :], z_pol, z_fb)
+        z_fb = z_seed if fallback_gradients else sg(z_seed)
+    z_out = jnp.where(valid[None, :], z_pol, z_fb)
+    # Name-save the final impulse too: the backward recompute then reads
+    # z from residuals instead of re-running the ladder cond (the where's
+    # vjp needs only `valid`, also saved; z_pol's own vjp is unaffected).
+    return checkpoint_name(z_out, "lcp_seed")
 
 
 # Remat policy for training rollouts: `jax.checkpoint(step, policy=

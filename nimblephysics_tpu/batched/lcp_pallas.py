@@ -164,6 +164,8 @@ def apgd_seed_tpu(meta: LcpMeta, F, b, mu, z0, cfm=0.0):
     ONE differentiable projected-gradient step re-attached, so the seed
     still carries approximate gradients for the rare polish-rejected
     fallback. Non-TPU backends use the pure-JAX seed unchanged."""
+    from jax.ad_checkpoint import checkpoint_name
+
     from nimblephysics_tpu.batched.lcp import _apgd, _Av, _diag_A, _const_bounds
 
     if jax.default_backend() != "tpu" or not isinstance(cfm, (int, float)):
@@ -179,6 +181,12 @@ def apgd_seed_tpu(meta: LcpMeta, F, b, mu, z0, cfm=0.0):
     z_pal = apgd_pallas(
         meta, sg(F), sg(b), sg(mu), sg(z0), float(cfm), block
     )
+    # Name-save the RAW kernel output as well: the differentiable PGD
+    # step below consumes z_pal, so without this the remat recompute
+    # must re-run the Pallas kernel to linearize that step (profiled:
+    # a second 50-iteration apgd_pallas instance inside the backward
+    # while loop). With z_pal saved the kernel is dead in the recompute.
+    z_pal = checkpoint_name(z_pal, "lcp_seed")
     # One differentiable PGD step on top (re-attaches gradient flow).
     isf = jnp.asarray(meta.is_friction)[:, None]
     fidx = np.asarray(np.maximum(meta.findex, 0))

@@ -10,6 +10,8 @@ from nimblephysics_tpu.models.builtin import (
     inverted_double_pendulum,
     box_drop,
     box_stack,
+    jump_worm,
+    catapult,
 )
 from nimblephysics_tpu.models.human import (
     human_standing,

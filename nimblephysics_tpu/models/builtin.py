@@ -17,6 +17,7 @@ from nimblephysics_tpu.dynamics import (
     FREE,
     PRISMATIC,
     REVOLUTE,
+    TRANSLATIONAL_2D,
     WELD,
     Skeleton,
 )
@@ -363,3 +364,127 @@ def box_stack(
         q0[6 * i + 5] = z - 1e-4  # a hair into contact
         z += s / 2.0
     return w, q0, np.zeros(6 * n_boxes)
+
+
+def _tail_segment(sk, parent, name, force, first):
+    """One jump-worm/catapult tail link: revolute +z, box 0.05x0.25x0.05,
+    joint at the child box's bottom face (and the parent box's top face
+    for chained segments) — reference createTailSegment
+    (python/nimblephysics_benchmarks/jump_worm_bench.py:29-53,
+    catapult_bench.py:41-66)."""
+    size = np.array([0.05, 0.25, 0.05])
+    return sk.add_joint_and_body(
+        REVOLUTE,
+        parent=parent,
+        name=name,
+        axis=[0.0, 0.0, 1.0],
+        T_pj=None if first else _T((0.0, 0.125, 0.0)),
+        T_cj=_T((0.0, -0.125, 0.0)),
+        mass=1.0,
+        inertia=np.asarray(inertia_box(1.0, size)),
+        shapes=(ShapeSpec("box", size),),
+        position_lower=[0.0],
+        position_upper=[np.pi],
+        force_limit=[force],
+    )
+
+
+def jump_worm() -> Tuple[World, np.ndarray, np.ndarray]:
+    """The reference's jump-worm benchmark world: a 2D (x, y) root box
+    with a 3-segment revolute tail over a box floor (5 dof, box-box
+    contact; python/nimblephysics_benchmarks/jump_worm_bench.py).
+
+    Actions drive the 3 tail joints (the root is passive)."""
+    w = World(name="jump_worm", gravity=(0.0, -9.81, 0.0), time_step=0.001)
+    worm = Skeleton("jump_worm")
+    root_size = np.array([0.1, 0.1, 0.1])
+    root = worm.add_joint_and_body(
+        TRANSLATIONAL_2D,
+        parent=-1,
+        name="root",
+        axes=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        mass=1.0,
+        inertia=np.asarray(inertia_box(1.0, root_size)),
+        shapes=(ShapeSpec("box", root_size),),
+    )
+    seg = root
+    for i in range(3):
+        seg = _tail_segment(worm, seg, f"tail{i + 1}", 100.0, first=(i == 0))
+    w.add_skeleton(worm)
+
+    floor = Skeleton("floor")
+    floor.add_joint_and_body(
+        WELD,
+        name="floor",
+        T_pj=_T((0.0, -0.7, 0.0)),
+        mass=1.0,
+        shapes=(ShapeSpec("box", np.array([2.5, 0.25, 0.5])),),
+    )
+    w.add_skeleton(floor)
+
+    w.set_action_space([2, 3, 4])
+    # jump_worm_bench.py:60,81: positions [0, -0.14, 90, 90, 45] deg.
+    q0 = np.array([0.0, -0.14, _HALF_PI, _HALF_PI, np.pi / 4.0])
+    return w, q0, np.zeros(5)
+
+
+def catapult() -> Tuple[World, np.ndarray, np.ndarray]:
+    """The reference's catapult benchmark world: a passive 2D projectile
+    box plus a welded-base 3-link catapult arm over a box floor (5 dof;
+    python/nimblephysics_benchmarks/catapult_bench.py).
+
+    Actions drive the 3 arm joints (the projectile is passive)."""
+    w = World(name="catapult", gravity=(0.0, -9.81, 0.0), time_step=0.001)
+
+    proj = Skeleton("projectile")
+    proj_size = np.array([0.1, 0.1, 0.1])
+    proj.add_joint_and_body(
+        TRANSLATIONAL_2D,
+        parent=-1,
+        name="projectile",
+        axes=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        mass=1.0,
+        inertia=np.asarray(inertia_box(1.0, proj_size)),
+        shapes=(ShapeSpec("box", proj_size),),
+    )
+    w.add_skeleton(proj)
+
+    cat = Skeleton("catapult")
+    base = cat.add_joint_and_body(
+        WELD, name="base", T_pj=_T((0.5, -0.45, 0.0)), mass=1.0
+    )
+    seg = base
+    for i in range(3):
+        seg = _tail_segment(cat, seg, f"arm{i + 1}", 1000.0, first=(i == 0))
+    w.add_skeleton(cat)
+
+    floor = Skeleton("floor")
+    fb = floor.add_joint_and_body(
+        WELD,
+        name="floor",
+        T_pj=_T((1.2, -0.7, 0.0)),
+        mass=1.0,
+        shapes=(ShapeSpec("box", np.array([3.5, 0.25, 0.5])),),
+    )
+    # Visual-only reach target (catapult_bench.py:96-110).
+    floor.add_joint_and_body(
+        WELD,
+        parent=fb,
+        name="target",
+        T_pj=_T((1.0, 2.9, 0.0)),  # world (2.2, 2.2): floor is at (1.2,-0.7)
+        mass=1.0,
+        shapes=(
+            ShapeSpec(
+                "box",
+                np.array([0.1, 0.1, 0.1]),
+                collidable=False,
+                color=np.array([0.8, 0.5, 0.5]),
+            ),
+        ),
+    )
+    w.add_skeleton(floor)
+
+    w.set_action_space([2, 3, 4])
+    # catapult_bench.py:72,115: arm [45 deg, 0, 0.65 rad], projectile (0, 0).
+    q0 = np.array([0.0, 0.0, np.pi / 4.0, 0.0, 0.65])
+    return w, q0, np.zeros(5)

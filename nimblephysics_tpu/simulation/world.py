@@ -50,6 +50,15 @@ class SolverConfig:
     lcp_iterations: int = 32
     cfm: float = 0.0
     fallback_cfm: float = 1e-4
+    # Differentiate through the failure-ladder output? The reference does
+    # not differentiate its secondary-solver path (BackpropSnapshot builds
+    # gradients from the primary solve's clamping sets regardless of which
+    # solver produced the impulse), and the ladder's lax.cond VJP costs
+    # ~30% of a 4096-world training step even when NO world ever takes it
+    # (measured on v5e; see benchmarks/README.md). Default False:
+    # ladder-resolved worlds keep their (robust) forward impulse but
+    # contribute zero contact-impulse gradient.
+    fallback_gradients: bool = False
     error_allowance: float = 0.0
     error_reduction_parameter: float = 0.01
     max_error_reduction_velocity: float = 1e-3
