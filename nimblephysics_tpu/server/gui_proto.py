@@ -105,7 +105,13 @@ CMD_FIELD = {
     "set_euler": 6,
     "set_color": 7,
     "set_scale": 8,
+    "set_object_tooltip": 32,
+    "delete_object_tooltip": 33,
+    "set_span_warning": 38,
+    "set_object_warning": 37,
+    "delete_object_warning": 39,
     "enable_drag": 18,
+    "enable_edit_tooltip": 34,
     "create_text": 12,
     "set_text": 23,
     "create_button": 13,
@@ -113,7 +119,10 @@ CMD_FIELD = {
     "create_plot": 15,
     "delete": 22,
     "delete_ui": 21,
+    "set_button_label": 24,
     "set_slider_value": 25,
+    "set_slider_min": 26,
+    "set_slider_max": 27,
     "set_plot_data": 28,
     "create_rich_plot": 29,
     "set_rich_plot_data": 17,
@@ -121,6 +130,38 @@ CMD_FIELD = {
     "set_ui_elem_pos": 19,
     "set_ui_elem_size": 20,
 }
+
+# CMD_FIELD key -> GUI.proto `Command` oneof member name. Where the names
+# differ it is because our internal JSON command types predate the wire
+# codec; the wire uses exactly the reference's member names (GUI.proto:
+# 11-50), which are also the property names the published JS client's
+# handleCommand dispatch reads (javascript/src/NimbleRemote.ts).
+ONEOF_MEMBER = {
+    "layer": "layer",
+    "create_box": "box",
+    "create_sphere": "sphere",
+    "create_cone": "cone",
+    "create_cylinder": "cylinder",
+    "create_capsule": "capsule",
+    "create_line": "line",
+    "create_mesh": "mesh",
+    "create_texture": "texture",
+    "set_pos": "set_object_position",
+    "set_euler": "set_object_rotation",
+    "set_color": "set_object_color",
+    "set_scale": "set_object_scale",
+    "create_text": "text",
+    "set_text": "set_text_contents",
+    "create_button": "button",
+    "create_slider": "slider",
+    "create_plot": "plot",
+    "delete": "delete_object",
+    "delete_ui": "delete_ui_elem",
+    "create_rich_plot": "rich_plot",
+}
+ONEOF_MEMBER.update(
+    {k: k for k in CMD_FIELD if k not in ONEOF_MEMBER}
+)
 
 
 class KeyCodes:
@@ -154,6 +195,9 @@ def encode_command(cmd: dict, keys: KeyCodes) -> Optional[bytes]:
     """
     t = cmd.get("type")
     k = keys.code(cmd["key"]) if "key" in cmd else 0
+    # Layer references are string keys mapped through the same code table
+    # (reference: getStringCode); empty/absent layer elides to proto 0.
+    lcode = keys.code(cmd["layer"]) if cmd.get("layer") else 0
 
     def obj(payload: bytes, field: str) -> bytes:
         return _len_delim(CMD_FIELD[field], payload)
@@ -161,17 +205,32 @@ def encode_command(cmd: dict, keys: KeyCodes) -> Optional[bytes]:
     if t == "create_box":
         sz = list(cmd.get("size", (1, 1, 1)))
         payload = _int32(1, k) + _packed_floats(2, _shape_data(cmd, sz))
+        payload += _int32(3, lcode)
         payload += _bool(4, True) + _bool(5, True)
         return obj(payload, "create_box")
     if t == "create_sphere":
         payload = _int32(1, k) + _packed_floats(
             2, _shape_data(cmd, [float(cmd.get("radius", 0.5))])
         )
+        payload += _int32(3, lcode)
         payload += _bool(4, True) + _bool(5, True)
         return obj(payload, "create_sphere")
+    if t in ("create_cone", "create_cylinder"):
+        lead = [float(cmd.get("radius", 0.1)), float(cmd.get("height", 1.0))]
+        payload = _int32(1, k) + _packed_floats(2, _shape_data(cmd, lead))
+        payload += _int32(3, lcode)
+        payload += _bool(4, True) + _bool(5, True)
+        return obj(payload, t)
+    if t == "set_plot_data":
+        payload = _int32(1, k)
+        payload += _packed_floats(4, cmd.get("bounds", (0, 1, 0, 1)))
+        payload += _packed_floats(5, cmd.get("xs", ()))
+        payload += _packed_floats(6, cmd.get("ys", ()))
+        return obj(payload, "set_plot_data")
     if t == "create_capsule":
         lead = [float(cmd.get("radius", 0.1)), float(cmd.get("length", 1.0))]
         payload = _int32(1, k) + _packed_floats(2, _shape_data(cmd, lead))
+        payload += _int32(3, lcode)
         payload += _bool(4, True) + _bool(5, True)
         return obj(payload, "create_capsule")
     if t == "create_plane":
@@ -187,6 +246,7 @@ def encode_command(cmd: dict, keys: KeyCodes) -> Optional[bytes]:
             pts += list(p)
         payload = _int32(1, k) + _packed_floats(2, pts)
         payload += _packed_floats(3, cmd.get("color", (1, 0.5, 0.5, 1)))
+        payload += _int32(4, lcode)
         return obj(payload, "create_line")
     if t == "create_mesh":
         verts: List[float] = []
@@ -200,6 +260,7 @@ def encode_command(cmd: dict, keys: KeyCodes) -> Optional[bytes]:
         payload += _packed_floats(
             8, _shape_data(cmd, list(cmd.get("scale", (1, 1, 1))))
         )
+        payload += _int32(9, lcode)
         payload += _bool(10, True) + _bool(11, True)
         return obj(payload, "create_mesh")
     if t == "set_pos":
@@ -217,8 +278,73 @@ def encode_command(cmd: dict, keys: KeyCodes) -> Optional[bytes]:
             _int32(1, k) + _packed_floats(2, cmd.get("color", (1, 1, 1, 1))),
             "set_color",
         )
+    if t == "set_scale":
+        return obj(
+            _int32(1, k) + _packed_floats(2, cmd.get("scale", (1, 1, 1))),
+            "set_scale",
+        )
+    if t == "set_frames_per_second":
+        return obj(
+            _int32(1, int(cmd.get("fps", 60))), "set_frames_per_second"
+        )
+    if t == "clear_all":
+        # ClearAll{bool dummy=1}: encode dummy=true so the message is
+        # non-empty on the wire.
+        return obj(_bool(1, True), "clear_all")
+    if t == "create_layer":
+        payload = _int32(1, k)
+        payload += _string(2, cmd.get("name", ""))
+        payload += _packed_floats(3, cmd.get("color", (1, 1, 1, 1)))
+        payload += _bool(4, bool(cmd.get("default_show", True)))
+        return obj(payload, "layer")
     if t == "delete":
         return obj(_int32(1, k), "delete")
+    if t == "set_object_tooltip":
+        return obj(
+            _int32(1, k) + _string(2, cmd.get("tooltip", "")),
+            "set_object_tooltip",
+        )
+    if t == "delete_object_tooltip":
+        return obj(_int32(1, k), "delete_object_tooltip")
+    if t == "set_span_warning":
+        payload = _int32(1, int(cmd.get("start_timestep", 0)))
+        payload += _int32(2, int(cmd.get("end_timestep", 0)))
+        payload += _int32(3, keys.code(cmd.get("warning_key", "")))
+        payload += _string(4, cmd.get("warning", ""))
+        payload += _int32(5, lcode)
+        return obj(payload, "set_span_warning")
+    if t == "set_object_warning":
+        payload = _int32(1, k)
+        payload += _string(2, cmd.get("warning", ""))
+        payload += _int32(3, keys.code(cmd.get("warning_key", "")))
+        payload += _int32(4, lcode)
+        return obj(payload, "set_object_warning")
+    if t == "delete_object_warning":
+        payload = _int32(1, k)
+        payload += _int32(2, keys.code(cmd.get("warning_key", "")))
+        return obj(payload, "delete_object_warning")
+    if t == "enable_drag":
+        return obj(_int32(1, k), "enable_drag")
+    if t == "enable_edit_tooltip":
+        return obj(_int32(1, k), "enable_edit_tooltip")
+    if t == "set_button_label":
+        return obj(
+            _int32(1, k) + _string(2, cmd.get("label", "")),
+            "set_button_label",
+        )
+    if t == "set_slider_value":
+        return obj(
+            _int32(1, k) + _float(2, cmd.get("value", 0.0)),
+            "set_slider_value",
+        )
+    if t == "set_slider_min":
+        return obj(
+            _int32(1, k) + _float(2, cmd.get("value", 0.0)), "set_slider_min"
+        )
+    if t == "set_slider_max":
+        return obj(
+            _int32(1, k) + _float(2, cmd.get("value", 0.0)), "set_slider_max"
+        )
     if t == "create_text":
         payload = _int32(1, k)
         payload += _packed_int32(

@@ -79,6 +79,36 @@ class GUIStateMachine:
         with self._lock:
             self._queue.append(cmd)
 
+    def create_layer(self, key, color=(1.0, 1.0, 1.0, 1.0),
+                     default_show=True):
+        """Reference: GUIStateMachine::createLayer — named groups the
+        viewer can toggle; objects reference layers by key."""
+        self._create(("layer", key), dict(type="create_layer", key=key,
+                                          name=key, color=_v(color),
+                                          default_show=bool(default_show)))
+
+    def set_frames_per_second(self, fps: int):
+        """Reference: GUIStateMachine::setFramesPerSecond (wire field 31)."""
+        cmd = dict(type="set_frames_per_second", fps=int(fps))
+        with self._lock:
+            self._objects[("fps",)] = cmd
+            self._queue.append(cmd)
+
+    def clear_all(self):
+        """Reference: GUIStateMachine::clear — drop the whole retained
+        scene and tell clients to do the same (wire field 16)."""
+        with self._lock:
+            self._objects.clear()
+            self._plot_data.clear()
+            self._queue.append(dict(type="clear_all"))
+
+    def set_object_scale(self, key, scale):
+        """Reference: GUIStateMachine::setObjectScale (wire field 8)."""
+        with self._lock:
+            self._retain(key, scale=_v(scale))
+            self._queue.append(dict(type="set_scale", key=key,
+                                    scale=_v(scale)))
+
     def create_plane(self, key, normal=(0, 0, 1), offset=0.0,
                      color=(0.6, 0.6, 0.6, 1.0), layer=""):
         self._create(key, dict(type="create_plane", key=key, normal=_v(normal),
@@ -142,6 +172,98 @@ class GUIStateMachine:
     def set_text_contents(self, key, contents):
         with self._lock:
             self._queue.append(dict(type="set_text", key=key, contents=contents))
+
+    def set_button_label(self, key, label):
+        """Reference: GUIStateMachine::setButtonLabel (hpp:370)."""
+        with self._lock:
+            self._retain(key, label=label)
+            self._queue.append(dict(type="set_button_label", key=key,
+                                    label=label))
+
+    def set_slider_value(self, key, value):
+        with self._lock:
+            self._retain(key, value=float(value))
+            self._queue.append(dict(type="set_slider_value", key=key,
+                                    value=float(value)))
+
+    def set_slider_min(self, key, value):
+        """Reference: GUIStateMachine::setSliderMin (hpp:389)."""
+        with self._lock:
+            self._retain(key, min=float(value))
+            self._queue.append(dict(type="set_slider_min", key=key,
+                                    value=float(value)))
+
+    def set_slider_max(self, key, value):
+        """Reference: GUIStateMachine::setSliderMax (hpp:392)."""
+        with self._lock:
+            self._retain(key, max=float(value))
+            self._queue.append(dict(type="set_slider_max", key=key,
+                                    value=float(value)))
+
+    # -- tooltips / warnings / drag (reference GUIStateMachine.hpp:303-333) --
+
+    def set_object_tooltip(self, key, tooltip):
+        with self._lock:
+            self._retain(key, tooltip=tooltip)
+            self._queue.append(dict(type="set_object_tooltip", key=key,
+                                    tooltip=tooltip))
+
+    def delete_object_tooltip(self, key):
+        with self._lock:
+            self._retain(key, tooltip=None)
+            self._queue.append(dict(type="delete_object_tooltip", key=key))
+
+    def set_object_tooltip_editable(self, key):
+        """Reference: setObjectTooltipEditable -> EnableEditTooltip wire."""
+        with self._lock:
+            self._retain(key, tooltip_editable=True)
+            self._queue.append(dict(type="enable_edit_tooltip", key=key))
+
+    def set_object_drag_enabled(self, key):
+        """Reference: setObjectDragEnabled -> EnableDrag wire."""
+        with self._lock:
+            self._retain(key, drag_enabled=True)
+            self._queue.append(dict(type="enable_drag", key=key))
+
+    def set_object_warning(self, key, warning, warning_key, layer=""):
+        """Reference: GUIStateMachine::setObjectWarning (hpp:318)."""
+        with self._lock:
+            obj = self._objects.get(key)
+            if obj is not None:
+                obj = dict(obj)
+                warns = dict(obj.get("warnings") or {})
+                warns[warning_key] = warning
+                obj["warnings"] = warns
+                self._objects[key] = obj
+            self._queue.append(dict(type="set_object_warning", key=key,
+                                    warning=warning, warning_key=warning_key,
+                                    layer=layer))
+
+    def delete_object_warning(self, key, warning_key):
+        """Reference: GUIStateMachine::deleteObjectWarning (hpp:325)."""
+        with self._lock:
+            obj = self._objects.get(key)
+            if obj is not None and obj.get("warnings"):
+                obj = dict(obj)
+                warns = dict(obj["warnings"])
+                warns.pop(warning_key, None)
+                obj["warnings"] = warns
+                self._objects[key] = obj
+            self._queue.append(dict(type="delete_object_warning", key=key,
+                                    warning_key=warning_key))
+
+    def set_span_warning(self, start_timestep, end_timestep, warning_key,
+                         warning, layer=""):
+        """Reference: GUIStateMachine::setSpanWarning (hpp:310) — a
+        timeline-span warning, not attached to any object (retained under
+        its warning_key so late joiners see it)."""
+        cmd = dict(type="set_span_warning",
+                   start_timestep=int(start_timestep),
+                   end_timestep=int(end_timestep),
+                   warning_key=warning_key, warning=warning, layer=layer)
+        with self._lock:
+            self._objects[("span_warning", warning_key)] = cmd
+            self._queue.append(cmd)
 
     # -- rich plots (reference: createRichPlot/setRichPlotData/Bounds,
     #    GUIStateMachine.hpp:420-447) ------------------------------------
@@ -339,9 +461,29 @@ class GUIStateMachine:
 
     def full_state_commands(self) -> List[dict]:
         with self._lock:
-            return list(self._objects.values()) + list(
-                self._plot_data.values()
-            )
+            out: List[dict] = []
+            for obj in self._objects.values():
+                out.append(obj)
+                # Expand retained per-object annotations into the follow-up
+                # commands a late-joining client needs (the reference
+                # retains these on its scene objects too,
+                # GUIStateMachine.hpp:59-395).
+                key = obj.get("key")
+                if key is None:
+                    continue
+                if obj.get("tooltip"):
+                    out.append(dict(type="set_object_tooltip", key=key,
+                                    tooltip=obj["tooltip"]))
+                if obj.get("tooltip_editable"):
+                    out.append(dict(type="enable_edit_tooltip", key=key))
+                if obj.get("drag_enabled"):
+                    out.append(dict(type="enable_drag", key=key))
+                for wk, wtext in (obj.get("warnings") or {}).items():
+                    out.append(dict(type="set_object_warning", key=key,
+                                    warning=wtext, warning_key=wk,
+                                    layer=obj.get("layer", "")))
+            out += list(self._plot_data.values())
+            return out
 
     def flush_json(self) -> Optional[str]:
         """Drain pending commands as one JSON CommandList message."""
