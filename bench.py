@@ -32,7 +32,12 @@ BASELINE_STEPS_PER_SEC = 1_000_000.0  # north-star target
 
 
 def main():
-    from nimblephysics_tpu.batched import LCP_REMAT_POLICY, BatchedEngine
+    from nimblephysics_tpu.batched import (
+        LCP_REMAT_POLICY,
+        BatchedEngine,
+        all_valid,
+        deferred_ladder_scan,
+    )
     from nimblephysics_tpu.models import half_cheetah
 
     world, q0, v0 = half_cheetah()
@@ -56,13 +61,16 @@ def main():
     @jax.jit
     def rollout(carry, u):
         # Warm-start the LCP from the previous step's impulses (reference
-        # parity: cached LCP solutions, World.hpp:690-698).
-        def body(c, _):
+        # parity: cached LCP solutions, World.hpp:690-698). The failure
+        # ladder is DEFERRED: the scan body runs ladder-free (no per-step
+        # lax.cond fusion barrier) and one post-scan cond re-runs with the
+        # ladder armed only if any step failed (batched/rollout.py).
+        def body(c, _, ladder_kwargs):
             q, v, z = c
-            r = engine.step(q, v, u, z_warm=z)
-            return (r.q, r.v, r.impulses), None
+            r = engine.step(q, v, u, z_warm=z, **ladder_kwargs)
+            return (r.q, r.v, r.impulses), None, all_valid(r)
 
-        c, _ = jax.lax.scan(body, carry, None, length=INNER_STEPS)
+        c, _ = deferred_ladder_scan(body, carry, None, length=INNER_STEPS)
         return c
 
     carry = (q, v, jnp.zeros((nrows, BATCH), dtype))
@@ -101,26 +109,26 @@ def main():
         return p["w2"] @ h + p["b2"]
 
     def rollout_loss(p, q, v, z):
-        def body(c, _):
+        def body(c, _, ladder_kwargs):
             q, v, z = c
             s = jnp.concatenate([q, v], axis=0)
             u = engine.action_to_forces(policy(p, s))
-            r = engine.step(q, v, u, z_warm=z)
-            return (r.q, r.v, r.impulses), r.v[0]
+            r = engine.step(q, v, u, z_warm=z, **ladder_kwargs)
+            return (r.q, r.v, r.impulses), r.v[0], all_valid(r)
 
         # Rematerialize each step in the backward pass, but SAVE the LCP
         # seed + active-set masks (LCP_REMAT_POLICY) and matmul outputs
         # (dots_saveable): the recompute then skips the APGD solver
         # iterations and refine-round pinned solves entirely. Measured
         # +15% over no remat and +6% over plain jax.checkpoint on v5e.
+        # The failure ladder is deferred out of the scan body entirely
+        # (batched/rollout.py): no per-step cond in forward, recompute,
+        # OR backward.
         pol = jax.checkpoint_policies.save_from_both_policies(
             LCP_REMAT_POLICY, jax.checkpoint_policies.dots_saveable
         )
-        (qf, vf, zf), vels = jax.lax.scan(
-            jax.checkpoint(body, policy=pol),
-            (q, v, z),
-            None,
-            length=TRAIN_HORIZON,
+        (qf, vf, zf), vels = deferred_ladder_scan(
+            body, (q, v, z), None, length=TRAIN_HORIZON, remat_policy=pol
         )
         # Forward-progress policy-gradient surrogate: maximize root x-vel.
         return -jnp.mean(vels), (qf, vf, zf)

@@ -13,3 +13,9 @@ Public surface:
 
 from nimblephysics_tpu.batched.engine import BatchedEngine, BatchedStepResult
 from nimblephysics_tpu.batched.lcp import LCP_REMAT_POLICY
+from nimblephysics_tpu.batched.rollout import (
+    LADDER_OFF,
+    LADDER_ON,
+    all_valid,
+    deferred_ladder_scan,
+)

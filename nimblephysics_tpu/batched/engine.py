@@ -43,6 +43,10 @@ class BatchedStepResult(NamedTuple):
     contact_points: jnp.ndarray  # (C, 3, B)
     contact_normals: jnp.ndarray  # (C, 3, B)
     contact_depths: jnp.ndarray  # (C, B)
+    # Per-world LCP primary-solve validity (B,) bool, only populated when
+    # step(collect_valid=True) — the deferred-ladder hook (see
+    # batched/rollout.py). None otherwise (pytree-empty).
+    lcp_valid: Optional[jnp.ndarray] = None
 
 
 def _tangent_basis_b(n):
@@ -414,10 +418,19 @@ class BatchedEngine:
         control: jnp.ndarray,
         z_warm: Optional[jnp.ndarray] = None,
         body_params: Optional[dict] = None,
+        fallback_cfm: Optional[float] = None,
+        fallback_gradients=None,
+        collect_valid: bool = False,
     ) -> BatchedStepResult:
         """One batch-minor physics step; pure and differentiable in
         (q, v, control) and, when given, in `body_params` (masses / coms /
-        inertias / scales — lane-major mass/COM/inertia/scale gradients)."""
+        inertias / scales — lane-major mass/COM/inertia/scale gradients).
+
+        fallback_cfm / fallback_gradients override the World's
+        SolverConfig for this call (the deferred-ladder scan in
+        batched/rollout.py runs the hot scan with the ladder OFF and a
+        rare rerun with it armed); collect_valid=True populates
+        result.lcp_valid with the per-world primary LCP validity."""
         w = self.world
         dt = w.time_step
         dtype = q.dtype
@@ -446,6 +459,7 @@ class BatchedEngine:
             L, bl.solve_tri_lower_vec(L, tau - bias)
         )
 
+        lcp_valid = None
         if nrows > 0:
             cpoint, cnormal, cdepth = self.bcollider.collide(R_wb, p_wb, B)
             Jrows, b, mu, valid = self._assemble(
@@ -456,13 +470,19 @@ class BatchedEngine:
             F = jnp.swapaxes(Ft, 0, 1)  # (nrows, nv, B)
             if z_warm is None:
                 z_warm = jnp.zeros((nrows, B), dtype=dtype)
-            z = boxed_lcp_b(
-                self.meta, F, b, mu, z_warm, cfm=w.solver.cfm,
-                fallback_cfm=w.solver.fallback_cfm,
-                fallback_gradients=getattr(
+            if fallback_cfm is None:
+                fallback_cfm = w.solver.fallback_cfm
+            if fallback_gradients is None:
+                fallback_gradients = getattr(
                     w.solver, "fallback_gradients", False
-                ),
+                )
+            lcp_out = boxed_lcp_b(
+                self.meta, F, b, mu, z_warm, cfm=w.solver.cfm,
+                fallback_cfm=fallback_cfm,
+                fallback_gradients=fallback_gradients,
+                return_valid=collect_valid,
             )
+            z, lcp_valid = lcp_out if collect_valid else (lcp_out, None)
             u = jnp.sum(F * z[:, None, :], axis=0)  # (nv, B)
             v_next = v_pre + bl.solve_tri_upper_t_vec(L, u)
         else:
@@ -471,6 +491,8 @@ class BatchedEngine:
             cpoint = jnp.zeros((0, 3, B), dtype=dtype)
             cnormal = jnp.zeros((0, 3, B), dtype=dtype)
             cdepth = jnp.zeros((0, B), dtype=dtype)
+            if collect_valid:
+                lcp_valid = jnp.ones((B,), dtype=bool)
 
         v_for_pos = v if w.parallel_velocity_and_position_updates else v_next
         q_next = integrate_positions(self.fw, q, v_for_pos, dt)
@@ -482,6 +504,7 @@ class BatchedEngine:
             contact_points=cpoint,
             contact_normals=cnormal,
             contact_depths=cdepth,
+            lcp_valid=lcp_valid,
         )
 
     def state_step(self, state, action, masses=None):

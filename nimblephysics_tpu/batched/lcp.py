@@ -337,19 +337,40 @@ def _lcp_valid(meta: LcpMeta, F, cfm, b, mu, z):
 
 
 def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4,
-                fallback_gradients=False):
+                fallback_gradients=False, return_valid=False):
     """Batch-minor boxed LCP solve; see constraint/lcp.boxed_lcp
     (including the CFM-softened / ignore-friction failure ladder,
     BoxedLcpConstraintSolver.cpp:392-646 parity).
 
-    fallback_gradients=False (default) stop-gradients the ladder output:
-    worlds whose primary pinned solve failed validity keep their robust
-    forward impulse but contribute zero impulse gradient — matching the
-    reference, which never differentiates its secondary-solver path, and
-    keeping the ladder's lax.cond out of the backward pass (its VJP
-    costs ~30% of a training step even when no world takes the ladder).
+    fallback_gradients controls how ladder-resolved worlds differentiate:
 
-    Args: F (n, r, B), b/mu/z_warm (n, B). Returns z (n, B).
+      * False (default) stop-gradients the ladder output: worlds whose
+        primary pinned solve failed validity keep their robust forward
+        impulse but contribute ZERO impulse gradient. NOTE this is an
+        approximation that diverges from the reference, which DOES build
+        gradients from the fallback impulse's clamping classification
+        (BoxedLcpConstraintSolver.cpp:716-734 registerLCPResults with the
+        softened mX -> ConstrainedGroupGradientMatrices::constructMatrices;
+        only friction rows are zeroed on the ignore-friction rung,
+        ConstrainedGroupGradientMatrices.cpp:620). We accept the
+        divergence on the LAZY per-step path because the ladder cond's
+        VJP costs ~30% of a training step even when no world takes it.
+      * "reclassify" matches the reference: the ladder impulse is
+        re-classified and ONE differentiable pinned solve with the
+        softened cfm provides its gradients (friction rows zeroed for
+        worlds that fell to the ignore-friction rung). Use from the
+        deferred-ladder rerun path (batched/rollout.py), where the cost
+        only hits calls that actually failed.
+      * True differentiates the ladder branch directly (cond VJP cost).
+
+    With return_valid=True also returns a per-world (B,) bool
+    (stop-gradiented): True when the shipped impulse solves its LCP
+    (pinned solve valid OR the PGS-polished seed fallback valid) — the
+    hook for hoisting the failure ladder out of a rollout scan
+    (batched/rollout.py).
+
+    Args: F (n, r, B), b/mu/z_warm (n, B). Returns z (n, B)
+    [, valid (B,)].
     """
     from jax.ad_checkpoint import checkpoint_name
 
@@ -384,6 +405,16 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4,
     valid = checkpoint_name(
         sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_pol))), "lcp_masks"
     )
+    # The (PGS-polished) seed is the first fallback rung when it is a
+    # valid solution itself (reference order: Dantzig primary -> PGS
+    # secondary -> cfm rungs, BoxedLcpConstraintSolver.cpp:461-570).
+    # With seed_pgs_sweeps=16 this covers almost every pinned-solve
+    # rejection, so the cfm-ladder cond below triggers on the much rarer
+    # "BOTH the pinned solve and the seed are invalid" event instead of
+    # firing for every marginal world.
+    valid_seed = checkpoint_name(
+        sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_seed))), "lcp_masks"
+    )
 
     if fallback_cfm:
         # Ladder rungs are LAZY: lax.cond on "any world failed validity"
@@ -410,14 +441,41 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4,
                     meta, Fs, soft, bs, jnp.zeros_like(mus), sg(z_nf)
                 )
             )
-            return jnp.where(
-                valid_soft[None, :],
-                z_soft,
-                jnp.where(valid_nf[None, :], z_nf, z_seed),
+            z_fb_raw = jnp.where(
+                valid_seed[None, :],
+                z_seed,
+                jnp.where(
+                    valid_soft[None, :],
+                    z_soft,
+                    jnp.where(valid_nf[None, :], z_nf, z_seed),
+                ),
             )
+            if fallback_gradients == "reclassify":
+                # Reference-parity gradients for ladder-resolved worlds:
+                # classify the FINAL fallback impulse and differentiate
+                # one pinned solve with the softened cfm
+                # (BoxedLcpConstraintSolver.cpp:716-734 ->
+                # constructMatrices on the ladder mX). Worlds that fell
+                # to the ignore-friction rung classify with mu = 0, so
+                # friction rows carry no gradient
+                # (mDeliberatelyIgnoreFriction,
+                # ConstrainedGroupGradientMatrices.cpp:620).
+                mu_cls = jnp.where(
+                    valid_soft[None, :], mus, jnp.zeros_like(mus)
+                )
+                mu_g = jnp.where(valid_soft[None, :], mu, sg(mu))
+                c2, u2, hi2 = _classify(
+                    meta, Fs, soft, bs, mu_cls, sg(z_fb_raw)
+                )
+                s2 = jnp.sign(sg(z_fb_raw))
+                z_grad = _pinned_solve(
+                    meta, F, soft, b, mu_g, c2, u2, s2, at_hi=hi2
+                )
+                return sg(z_fb_raw) + (z_grad - sg(z_grad))
+            return z_fb_raw
 
         z_fb = jax.lax.cond(
-            jnp.all(valid), lambda _: z_seed, run_ladder, None
+            jnp.all(valid | valid_seed), lambda _: z_seed, run_ladder, None
         )
         if not fallback_gradients:
             z_fb = sg(z_fb)
@@ -427,7 +485,13 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4,
     # Name-save the final impulse too: the backward recompute then reads
     # z from residuals instead of re-running the ladder cond (the where's
     # vjp needs only `valid`, also saved; z_pol's own vjp is unaffected).
-    return checkpoint_name(z_out, "lcp_seed")
+    z_out = checkpoint_name(z_out, "lcp_seed")
+    if return_valid:
+        # "The shipped impulse solves its LCP": either the pinned solve
+        # was valid, or the (PGS-polished) seed fallback is itself valid.
+        # This is the deferred-ladder rerun trigger (batched/rollout.py).
+        return z_out, valid | valid_seed
+    return z_out
 
 
 # Remat policy for training rollouts: `jax.checkpoint(step, policy=

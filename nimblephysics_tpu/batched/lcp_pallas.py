@@ -64,7 +64,8 @@ def _static_rows(meta: LcpMeta, dtype):
     )
 
 
-def _apgd_kernel(*refs, r: int, iterations: int, cfm: float):
+def _apgd_kernel(*refs, r: int, iterations: int, cfm: float,
+                 pgs_sweeps: int = 0, isf_rows=(), fidx_rows=()):
     F = [refs[j][...] for j in range(r)]  # r x (n, BLOCK), all in VMEM
     b = refs[r][...]  # (n, BLOCK)
     mu = refs[r + 1][...]
@@ -113,6 +114,40 @@ def _apgd_kernel(*refs, r: int, iterations: int, cfm: float):
         return (z_new, z)
 
     z, _ = jax.lax.fori_loop(0, iterations, body, (z0, z0))
+
+    if pgs_sweeps:
+        # Projected Gauss-Seidel polish (the reference's PGS secondary,
+        # BoxedLcpConstraintSolver.cpp:550-570), fully unrolled over the
+        # static row order with z kept as per-row SSA values — no
+        # dynamic-update-slice, everything stays in VMEM/registers.
+        # Semantics identical to batched/lcp._pgs (same sweep order, same
+        # bound formula), so the non-TPU pure-JAX path matches.
+        n = b.shape[0]
+        diag = sum(F[j] * F[j] for j in range(r)) + cfm  # (n, BLOCK)
+        inv_diag = jnp.where(diag > 1e-12,
+                             1.0 / jnp.maximum(diag, 1e-12), 0.0)
+        zr = [z[i : i + 1] for i in range(n)]
+        ur = [
+            jnp.sum(F[j] * z, axis=0, keepdims=True) for j in range(r)
+        ]  # running u = F^T z, r x (1, BLOCK)
+        Frow = [[F[j][i : i + 1] for j in range(r)] for i in range(n)]
+        for _ in range(pgs_sweeps):
+            for i in range(n):
+                Az_i = cfm * zr[i]
+                for j in range(r):
+                    Az_i = Az_i + Frow[i][j] * ur[j]
+                zi = zr[i] + (b[i : i + 1] - Az_i) * inv_diag[i : i + 1]
+                if isf_rows[i]:
+                    bound = mu[i : i + 1] * zr[fidx_rows[i]]
+                    zi = jnp.clip(zi, -bound, bound)
+                else:
+                    zi = jnp.clip(zi, lo[i : i + 1], hi[i : i + 1])
+                d = zi - zr[i]
+                for j in range(r):
+                    ur[j] = ur[j] + Frow[i][j] * d
+                zr[i] = zi
+        z = jnp.concatenate(zr, axis=0)
+
     out_ref[...] = z
 
 
@@ -144,7 +179,10 @@ def apgd_pallas(
     const2 = lambda rows, cols: bspec((rows, cols), lambda i: (0, 0))
 
     kernel = functools.partial(
-        _apgd_kernel, r=r, iterations=int(meta.iterations), cfm=float(cfm)
+        _apgd_kernel, r=r, iterations=int(meta.iterations), cfm=float(cfm),
+        pgs_sweeps=int(getattr(meta, "seed_pgs_sweeps", 0)),
+        isf_rows=tuple(bool(x) for x in meta.is_friction),
+        fidx_rows=tuple(int(x) for x in np.maximum(meta.findex, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -161,22 +199,43 @@ def apgd_pallas(
 
 def apgd_seed_tpu(meta: LcpMeta, F, b, mu, z0, cfm=0.0):
     """APGD seed with the Pallas fast path on TPU (gradient-stopped) plus
-    ONE differentiable projected-gradient step re-attached, so the seed
-    still carries approximate gradients for the rare polish-rejected
-    fallback. Non-TPU backends use the pure-JAX seed unchanged."""
+    ONE differentiable projected-gradient step re-attached. NOTE: the
+    re-attached step's gradients only reach the output when the caller
+    enables fallback_gradients (boxed_lcp_b defaults to False, which
+    stop-gradients every seed-fallback path); it exists so that callers
+    who DO differentiate the fallback (fallback_gradients=True, or the
+    deferred-ladder rerun) get an approximate-gradient seed instead of a
+    constant. Non-TPU backends use the pure-JAX seed unchanged."""
+    import dataclasses
+
     from jax.ad_checkpoint import checkpoint_name
 
-    from nimblephysics_tpu.batched.lcp import _apgd, _Av, _diag_A, _const_bounds
+    from nimblephysics_tpu.batched.lcp import (
+        _apgd,
+        _Av,
+        _const_bounds,
+        _diag_A,
+        _pgs,
+    )
+
+    def pure_seed():
+        z = _apgd(meta, F, cfm, b, mu, z0)
+        if meta.seed_pgs_sweeps:
+            z = _pgs(
+                dataclasses.replace(meta, iterations=meta.seed_pgs_sweeps),
+                F, cfm, b, mu, z,
+            )
+        return z
 
     if jax.default_backend() != "tpu" or not isinstance(cfm, (int, float)):
-        return _apgd(meta, F, cfm, b, mu, z0)
+        return pure_seed()
     n, r, B = F.shape
     block = 512
     if B % block != 0:
         if B % 128 == 0:
             block = 128
         else:
-            return _apgd(meta, F, cfm, b, mu, z0)
+            return pure_seed()
     sg = jax.lax.stop_gradient
     z_pal = apgd_pallas(
         meta, sg(F), sg(b), sg(mu), sg(z0), float(cfm), block

@@ -66,6 +66,15 @@ class LcpMeta:
     tol: float = 1e-9  # classification tolerance (floored per dtype)
     ridge: float = 1e-10  # relative Tikhonov regularization (floored per dtype)
     refine_rounds: int = 3  # active-set refinement rounds (masked Dantzig)
+    # Projected Gauss-Seidel polish sweeps run on the iterative seed AFTER
+    # APGD (reference: the PGS secondary solver,
+    # BoxedLcpConstraintSolver.cpp:550-570). APGD alone plateaus on
+    # wedged friction-coupled islands (the findex coupling makes the
+    # problem a quasi-LCP where fixed-point GS converges but accelerated
+    # gradients stall): measured on 4096 half-cheetahs, 16 sweeps take
+    # the "seed fails validity when the pinned solve also failed" count
+    # from 62 worlds/step to 4.
+    seed_pgs_sweeps: int = 16
     k_active: int = 0  # gathered active-set size (0 = full n); set to
     # ~2*nv+8 by the assembler — clamping count is rank-bounded
     solver: str = "apgd"  # iterative seed solver: "apgd" (batched matvecs
@@ -438,6 +447,16 @@ def boxed_lcp(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
     # gradients instead of none. Classification and refinement stay on
     # gradient-stopped values (discrete masks).
     z_seed = seed_fn(meta, F, cfm, b, mu, z_warm)
+    if meta.solver == "apgd" and meta.seed_pgs_sweeps:
+        # PGS polish: the reference's secondary solver
+        # (BoxedLcpConstraintSolver.cpp:550-570) folded into the seed —
+        # fixed-point Gauss-Seidel resolves the friction-coupled
+        # quasi-LCPs where accelerated gradients stall, so the seed is a
+        # legitimate shipping impulse when the pinned polish is rejected.
+        z_seed = _pgs(
+            dataclasses.replace(meta, iterations=meta.seed_pgs_sweeps),
+            F, cfm, b, mu, z_seed,
+        )
     clamping, upper, at_hi = _classify(meta, Fs, cfm, bs, mus, sg(z_seed))
     sign_u = jnp.sign(sg(z_seed))
     for _ in range(meta.refine_rounds):
@@ -450,6 +469,10 @@ def boxed_lcp(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
         meta, F, cfm, b, mu, clamping, upper, sign_u, at_hi=at_hi
     )
     valid = sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_pol)))
+    # The (PGS-polished) seed is the first fallback rung when it is a
+    # valid solution itself (reference order: Dantzig primary -> PGS
+    # secondary -> cfm-softened retries).
+    valid_seed = sg(_lcp_valid(meta, Fs, cfm, bs, mus, sg(z_seed)))
 
     if fallback_cfm:
         # Rung 2: CFM-softened re-solve of the same active set. Validity
@@ -478,9 +501,13 @@ def boxed_lcp(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4):
             )
         )
         z_fb = jnp.where(
-            valid_soft[..., None],
-            z_soft,
-            jnp.where(valid_nf[..., None], z_nf, z_seed),
+            valid_seed[..., None],
+            z_seed,
+            jnp.where(
+                valid_soft[..., None],
+                z_soft,
+                jnp.where(valid_nf[..., None], z_nf, z_seed),
+            ),
         )
     else:
         z_fb = z_seed

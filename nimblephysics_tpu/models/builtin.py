@@ -371,7 +371,16 @@ def _tail_segment(sk, parent, name, force, first):
     joint at the child box's bottom face (and the parent box's top face
     for chained segments) — reference createTailSegment
     (python/nimblephysics_benchmarks/jump_worm_bench.py:29-53,
-    catapult_bench.py:41-66)."""
+    catapult_bench.py:41-66).
+
+    Deliberate deviation: we set the physical box inertia
+    (inertia_box(1.0, size) ~ 5e-3) while the reference benchmark bodies
+    never set inertia and keep DART's default identity moment of inertia
+    (dart/dynamics/Inertia.hpp:68-71), so the ported workloads' rotational
+    dynamics differ from the reference's. Acceptable for a throughput
+    benchmark (same dof count, same contact rows); the physical inertia is
+    kept because an identity moment on a 5 cm box is unphysical by ~200x
+    and makes gradient-fidelity tests meaningless."""
     size = np.array([0.05, 0.25, 0.05])
     return sk.add_joint_and_body(
         REVOLUTE,

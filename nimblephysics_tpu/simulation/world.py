@@ -50,14 +50,21 @@ class SolverConfig:
     lcp_iterations: int = 32
     cfm: float = 0.0
     fallback_cfm: float = 1e-4
-    # Differentiate through the failure-ladder output? The reference does
-    # not differentiate its secondary-solver path (BackpropSnapshot builds
-    # gradients from the primary solve's clamping sets regardless of which
-    # solver produced the impulse), and the ladder's lax.cond VJP costs
-    # ~30% of a 4096-world training step even when NO world ever takes it
-    # (measured on v5e; see benchmarks/README.md). Default False:
-    # ladder-resolved worlds keep their (robust) forward impulse but
-    # contribute zero contact-impulse gradient.
+    # Differentiate through the failure-ladder output? The reference DOES
+    # build gradients from its fallback impulse: registerLCPResults is
+    # called with the ladder-produced mX and constructMatrices classifies
+    # it (BoxedLcpConstraintSolver.cpp:716-734; friction rows zeroed on
+    # the ignore-friction rung, ConstrainedGroupGradientMatrices.cpp:620).
+    # Default False is therefore an APPROXIMATION that diverges from the
+    # reference for exactly the worlds the ladder serves: they keep their
+    # robust forward impulse but contribute zero contact-impulse gradient.
+    # We accept that on the lazy per-step path because the ladder cond's
+    # VJP costs ~30% of a 4096-world training step even when NO world
+    # ever takes it (measured on v5e; see benchmarks/README.md). For
+    # reference-parity gradients at zero happy-path cost, roll out with
+    # batched/rollout.deferred_ladder_scan, whose rerun path uses
+    # fallback_gradients="reclassify" (classify the ladder impulse, one
+    # differentiable softened pinned solve — the reference recipe).
     fallback_gradients: bool = False
     error_allowance: float = 0.0
     error_reduction_parameter: float = 0.01
