@@ -17,3 +17,8 @@ from nimblephysics_tpu.models.human import (
     human_standing,
     rajagopal_humanoid,
 )
+from nimblephysics_tpu.models.rajagopal import (
+    RajagopalANSURModel,
+    RajagopalHumanBodyModel,
+    rajagopal_data_dir,
+)

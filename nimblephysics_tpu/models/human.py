@@ -11,9 +11,12 @@ masses and lengths from standard anthropometry (de Leva 1996 fractions),
 capsule/box collision shapes, joint limits, and an attached marker set
 usable by the MarkerFitter pipeline.
 
-Not a copy of the 49-coordinate Rajagopal .osim (CustomJoint spline
-geometry and muscle paths are not reproduced); users fitting real
-subjects should load their own .osim via biomechanics.OpenSimParser.
+This is the NO-DATA FALLBACK. The real Rajagopal2015.osim (39
+coordinates, CustomJoint splines, patella couplers, 66-marker set) is
+parsed by models/rajagopal.py RajagopalHumanBodyModel() whenever the
+reference's rajagopal_data files are available ($NIMBLE_RAJAGOPAL_DATA,
+an installed nimblephysics wheel, or a reference checkout); prefer that
+for fitting real subjects, and this module only when no data ships.
 """
 
 from __future__ import annotations
