@@ -135,6 +135,31 @@ def _first_int(fields, num, default=0):
 # ---------------------------------------------------------------------------
 
 
+def _decode_pass_header(buf: bytes) -> Dict:
+    """SubjectOnDiskTrialProcessingPassHeader (proto:58-94)."""
+    pf = decode_fields(buf)
+    return {
+        "type": _first_int(pf, 1),
+        "dof_positions_observed": [
+            bool(v) for v in _packed_varints(pf.get(2, []))
+        ],
+        "dof_velocities_finite_differenced": [
+            bool(v) for v in _packed_varints(pf.get(3, []))
+        ],
+        "dof_acceleration_finite_differenced": [
+            bool(v) for v in _packed_varints(pf.get(4, []))
+        ],
+        "marker_rms": _packed_floats(pf.get(5, [])),
+        "marker_max": _packed_floats(pf.get(6, [])),
+        "linear_residual": _packed_floats(pf.get(7, [])),
+        "angular_residual": _packed_floats(pf.get(8, [])),
+        "joints_max_velocity": _packed_floats(pf.get(9, [])),
+        "lowpass_cutoff_frequency": float(_first(pf, 10, 0.0) or 0.0),
+        "lowpass_filter_order": _first_int(pf, 11),
+        "force_plate_cutoff": _packed_floats(pf.get(12, [])),
+    }
+
+
 @dataclasses.dataclass
 class B3DTrial:
     name: str
@@ -144,6 +169,12 @@ class B3DTrial:
     missing_grf_reason: List[int]
     num_force_plates: int
     tags: List[str]
+    # Per-pass summary written back by processing stages
+    # (SubjectOnDiskTrialProcessingPassHeader, proto:58-94).
+    pass_headers: List[Dict] = dataclasses.field(default_factory=list)
+    original_name: str = ""
+    split_index: int = 0
+    marker_names_guessed: bool = False
 
 
 @dataclasses.dataclass
@@ -157,11 +188,18 @@ class B3DFrames:
     tau: List[np.ndarray]
     ground_contact_wrench: List[np.ndarray]  # (T, n_contact_bodies * 6)
     com_pos: List[np.ndarray]  # (T, 3)
+    com_vel: List[np.ndarray]  # (T, 3) — (T, 0) when absent
+    com_acc: List[np.ndarray]
+    root_frame_residual: List[np.ndarray]  # (T, 6) — (T, 0) when absent
     # Sensor data:
     marker_obs: np.ndarray  # (T, n_markers, 3), NaN = unobserved
     raw_force_plate_cop: np.ndarray  # (T, n_plates, 3)
     raw_force_plate_torque: np.ndarray
     raw_force_plate_force: np.ndarray
+    acc_obs: np.ndarray  # (T, nA*3) — (T, 0) when absent
+    gyro_obs: np.ndarray
+    emg_obs: np.ndarray  # (T, nE)
+    custom_values: np.ndarray  # (T, nCV)
 
 
 class SubjectOnDiskReader:
@@ -215,6 +253,14 @@ class SubjectOnDiskReader:
                     num_passes=len(tf.get(5, [])),
                     tags=_strs(tf.get(6, [])),
                     num_force_plates=_first_int(tf, 7),
+                    pass_headers=[
+                        _decode_pass_header(pb) for pb in tf.get(5, [])
+                    ],
+                    original_name=_first(tf, 10, b"").decode(
+                        errors="replace"
+                    ),
+                    split_index=_first_int(tf, 11),
+                    marker_names_guessed=bool(_first_int(tf, 9)),
                 )
             )
         # proto3 omits default-valued fields; derive the count from the
@@ -251,9 +297,12 @@ class SubjectOnDiskReader:
 
         per_pass: List[Dict[str, List]] = [
             {"pos": [], "vel": [], "acc": [], "tau": [], "wrench": [],
-             "com": []}
+             "com": [], "com_vel": [], "com_acc": [], "root_res": []}
             for _ in range(n_passes)
         ]
+        sensor_extra: Dict[str, List] = {
+            "acc": [], "gyro": [], "emg": [], "custom": []
+        }
         markers = np.full((count, n_markers, 3), np.nan)
         n_plates = th.num_force_plates
         cop = np.full((count, n_plates, 3), np.nan)
@@ -279,6 +328,20 @@ class SubjectOnDiskReader:
                     plate_torque[t] = pt[: 3 * n_plates].reshape(n_plates, 3)
                 if pfo.size >= 3 * n_plates and n_plates:
                     plate_force[t] = pfo[: 3 * n_plates].reshape(n_plates, 3)
+                # Optional sensor channels: custom_values=1, acc_obs=3,
+                # gyro_obs=4, emg_obs=5 (proto:215-232).
+                sensor_extra["custom"].append(
+                    _packed_doubles(sensor.get(1, []))
+                )
+                sensor_extra["acc"].append(
+                    _packed_doubles(sensor.get(3, []))
+                )
+                sensor_extra["gyro"].append(
+                    _packed_doubles(sensor.get(4, []))
+                )
+                sensor_extra["emg"].append(
+                    _packed_doubles(sensor.get(5, []))
+                )
                 for p in range(n_passes):
                     off = self.raw_sensor_frame_size + p * self.processing_pass_frame_size
                     pp = decode_fields(
@@ -295,9 +358,27 @@ class SubjectOnDiskReader:
                         _packed_doubles(pp.get(5, []))
                     )
                     per_pass[p]["com"].append(_packed_doubles(pp.get(9, [])))
+                    # com_vel=10, com_acc=11, root_frame_residual=12
+                    # (proto:179-213).
+                    per_pass[p]["com_vel"].append(
+                        _packed_doubles(pp.get(10, []))
+                    )
+                    per_pass[p]["com_acc"].append(
+                        _packed_doubles(pp.get(11, []))
+                    )
+                    per_pass[p]["root_res"].append(
+                        _packed_doubles(pp.get(12, []))
+                    )
 
         def stack(key, p):
             rows = per_pass[p][key]
+            width = max((r.size for r in rows), default=0)
+            out = np.zeros((count, width))
+            for t, r in enumerate(rows):
+                out[t, : r.size] = r
+            return out
+
+        def stack_rows(rows):
             width = max((r.size for r in rows), default=0)
             out = np.zeros((count, width))
             for t, r in enumerate(rows):
@@ -313,10 +394,19 @@ class SubjectOnDiskReader:
                 stack("wrench", p) for p in range(n_passes)
             ],
             com_pos=[stack("com", p) for p in range(n_passes)],
+            com_vel=[stack("com_vel", p) for p in range(n_passes)],
+            com_acc=[stack("com_acc", p) for p in range(n_passes)],
+            root_frame_residual=[
+                stack("root_res", p) for p in range(n_passes)
+            ],
             marker_obs=markers,
             raw_force_plate_cop=cop,
             raw_force_plate_torque=plate_torque,
             raw_force_plate_force=plate_force,
+            acc_obs=stack_rows(sensor_extra["acc"]),
+            gyro_obs=stack_rows(sensor_extra["gyro"]),
+            emg_obs=stack_rows(sensor_extra["emg"]),
+            custom_values=stack_rows(sensor_extra["custom"]),
         )
 
 

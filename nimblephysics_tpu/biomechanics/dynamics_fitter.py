@@ -276,6 +276,147 @@ class ResidualEliminator:
         )
 
 
+    def reduce_spatial_residuals(
+        self,
+        poses: np.ndarray,  # (T, nq) — typically zero_linear_residuals output
+        dt: float,
+        ext_root_wrench: Optional[np.ndarray] = None,  # (T, 6) generalized
+        # measured wrench on the root dofs; OR give plate data below so the
+        # wrench is re-mapped through the contact Jacobians as poses move.
+        masses: Optional[np.ndarray] = None,
+        coms: Optional[np.ndarray] = None,
+        root_dofs=(0, 1, 2, 3, 4, 5),
+        plate_wrenches: Optional[np.ndarray] = None,  # (T, P, 6) world
+        plate_onehot: Optional[np.ndarray] = None,  # (T, P, C)
+        contact_bodies: Optional[np.ndarray] = None,  # (C,)
+        iterations: int = 250,
+        learning_rate: float = 2e-3,
+        w_angular: float = 1.0,
+        w_linear: float = 1.0,
+        smoothness: float = 1e-2,
+        anchor: float = 1e-4,
+        gravity=None,
+    ) -> ResidualFreeResult:
+        """Stage-2 spatial (angular + linear) residual reduction.
+
+        The closed-form linear pass (zero_linear_residuals) pins the COM
+        path but leaves the ANGULAR root residual untouched — the rate of
+        whole-body angular momentum must also match the measured moments.
+        There is no closed form for that (angular momentum is nonlinear in
+        the root orientation), so this pass does what the reference's
+        DynamicsFitter does inside IPOPT (DynamicsFitter.hpp:1250, the
+        spatial-residual objective over the root trajectory): minimize the
+        RNEA root-residual wrench over per-frame ROOT pose corrections,
+        with an acceleration-smoothness prior and an anchor to the input
+        trajectory, by jit-compiled Adam. The residual estimator is
+        identical to DynamicsFitter.fit (central-difference v/a + RNEA),
+        so before/after numbers are directly comparable.
+        """
+        skel = self.skel
+        g = jnp.asarray(
+            self.gravity if gravity is None else np.asarray(gravity)
+        )
+        bp0 = default_body_params(skel)
+        bp = {
+            "masses": jnp.asarray(masses)
+            if masses is not None
+            else bp0["masses"],
+            "coms": jnp.asarray(coms) if coms is not None else bp0["coms"],
+        }
+        T, nq = poses.shape
+        rdofs = np.asarray(root_dofs, dtype=np.int64)
+        q_t = jnp.asarray(poses)
+        use_plates = plate_wrenches is not None
+        if use_plates:
+            w_t = jnp.asarray(plate_wrenches)
+            oh_t = jnp.asarray(plate_onehot)
+            cb = np.asarray(contact_bodies)
+        else:
+            assert ext_root_wrench is not None
+            wext_t = jnp.asarray(ext_root_wrench)
+
+        def residual_frames(dq_root):
+            dq = jnp.zeros((T, nq)).at[:, rdofs].set(dq_root)
+            qs = q_t + dq
+            qm = qs[1:-1]
+            vm = (qs[2:] - qs[:-2]) / (2 * dt)
+            am = (qs[2:] - 2 * qs[1:-1] + qs[:-2]) / (dt * dt)
+
+            if use_plates:
+                from nimblephysics_tpu.biomechanics.force_plate import (
+                    grf_generalized_forces,
+                )
+
+                def one(q, v, a, w, oh):
+                    tau = inverse_dynamics(
+                        skel, q, v, a, gravity=g, body_params=bp
+                    )
+                    tau_ext = grf_generalized_forces(skel, q, w, oh, cb)
+                    return tau[:6] - tau_ext[:6]
+
+                return jax.vmap(one)(qm, vm, am, w_t[1:-1], oh_t[1:-1])
+
+            def one(q, v, a, wx):
+                tau = inverse_dynamics(
+                    skel, q, v, a, gravity=g, body_params=bp
+                )
+                return tau[:6] - wx
+
+            return jax.vmap(one)(qm, vm, am, wext_t[1:-1])
+
+        # Which residual components are angular vs linear: the root
+        # rotation dofs' generalized forces are torques. For the standard
+        # free/euler-free root the first three of the six root dofs are
+        # rotations; callers with translation-first roots pass root_dofs
+        # reordered (rotation dofs first).
+        def split(res):
+            return res[:, :3], res[:, 3:6]
+
+        def loss(dq_root):
+            ang, lin = split(residual_frames(dq_root))
+            dd = dq_root[2:] - 2 * dq_root[1:-1] + dq_root[:-2]
+            return (
+                w_angular * jnp.mean(ang**2)
+                + w_linear * jnp.mean(lin**2)
+                + smoothness * jnp.mean((dd / (dt * dt)) ** 2) * dt**2
+                + anchor * jnp.mean(dq_root**2)
+            )
+
+        import optax
+
+        opt = optax.adam(learning_rate)
+        dq_root = jnp.zeros((T, len(rdofs)))
+        opt_state = opt.init(dq_root)
+
+        @jax.jit
+        def step(dq_root, opt_state):
+            l, grads = jax.value_and_grad(loss)(dq_root)
+            upd, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(dq_root, upd), opt_state, l
+
+        ang0, lin0 = split(np.asarray(residual_frames(dq_root)))
+        for _ in range(iterations):
+            dq_root, opt_state, _l = step(dq_root, opt_state)
+        ang1, lin1 = split(np.asarray(residual_frames(dq_root)))
+
+        def rms(x):
+            return float(np.sqrt(np.mean(np.sum(np.asarray(x) ** 2,
+                                                axis=-1))))
+
+        poses_new = np.asarray(poses).copy()
+        poses_new[:, rdofs] += np.asarray(dq_root)
+        return ResidualFreeResult(
+            poses=poses_new,
+            masses=np.asarray(bp["masses"]),
+            coms=np.asarray(bp["coms"]),
+            lin_residual_before=rms(lin0),
+            lin_residual_after=rms(lin1),
+            ang_residual_before=rms(ang0),
+            ang_residual_after=rms(ang1),
+            com_correction_rms=rms(np.asarray(dq_root)),
+        )
+
+
 class DynamicsFitterWithPlates(DynamicsFitter):
     """The full GRF pipeline (reference: DynamicsFitter.hpp:1250):
 

@@ -405,6 +405,164 @@ def test_b3d_reference_format_write_read_roundtrip(tmp_path):
     np.testing.assert_allclose(fr1.pos[0], poses[2:7])
 
 
+def test_b3d_full_schema_roundtrip(tmp_path):
+    """Field-coverage round-trip over SubjectOnDisk.proto's message set
+    (VERDICT #8): multi-pass processing frames with com_vel/com_acc/
+    root_frame_residual, sensor frames with acc/gyro/EMG/custom channels,
+    and per-trial SubjectOnDiskTrialProcessingPassHeader summaries
+    (proto:58-94) with residual/marker-RMS series, dof flags, and lowpass
+    metadata — everything a reference-produced subject carries."""
+    from nimblephysics_tpu.biomechanics.b3d_writer import (
+        write_b3d_reference_format,
+    )
+
+    rng = np.random.RandomState(1)
+    T, nq, M, P, nA, nE = 12, 5, 3, 1, 2, 8
+    poses = rng.randn(T, nq)
+    com_vel = rng.randn(T, 3)
+    com_acc = rng.randn(T, 3)
+    root_res = rng.randn(T, 6)
+    acc_obs = rng.randn(T, nA, 3)
+    gyro_obs = rng.randn(T, nA, 3)
+    emg = rng.randn(T, nE)
+    custom = rng.randn(T, 4)
+    ph0 = dict(
+        type=1,  # KINEMATICS
+        dof_positions_observed=[True] * nq,
+        dof_velocities_finite_differenced=[True] * nq,
+        dof_acceleration_finite_differenced=[False] * nq,
+        marker_rms=np.full(T, 0.011, np.float32),
+        marker_max=np.full(T, 0.04, np.float32),
+    )
+    ph1 = dict(
+        type=2,  # DYNAMICS
+        linear_residual=np.linspace(5, 0, T).astype(np.float32),
+        angular_residual=np.linspace(2, 0.1, T).astype(np.float32),
+        joints_max_velocity=np.full(T, 12.0, np.float32),
+        lowpass_cutoff_frequency=30.0,
+        lowpass_filter_order=4,
+        force_plate_cutoff=[10.0],
+    )
+    path = str(tmp_path / "full.b3d")
+    write_b3d_reference_format(
+        path, num_dofs=nq,
+        trials=[dict(
+            name="walk", timestep=0.01, poses=poses,
+            marker_obs=rng.randn(T, M, 3),
+            plate_force=np.abs(rng.randn(T, P, 3)),
+            plate_cop=np.zeros((T, P, 3)),
+            plate_torque=np.zeros((T, P, 3)),
+            com_vel=com_vel, com_acc=com_acc, root_residual=root_res,
+            acc_obs=acc_obs, gyro_obs=gyro_obs, emg_obs=emg,
+            custom_values=custom,
+            pass_headers=[ph0, ph1],
+            missing_grf_reason=[0] * T,
+            tags=["overground", "treadmill_speed_1.2"],
+        )],
+        ground_contact_bodies=["calcn_l", "calcn_r"],
+        marker_names=[f"M{i}" for i in range(M)],
+        pass_types=[1, 2],
+    )
+    r = read_b3d(path)
+    th = r.trials[0]
+    assert th.num_passes == 2
+    assert th.tags == ["overground", "treadmill_speed_1.2"]
+    assert th.missing_grf_reason == [0] * T
+    h0, h1 = th.pass_headers
+    assert h0["type"] == 1 and h1["type"] == 2
+    assert h0["dof_positions_observed"] == [True] * nq
+    assert h0["dof_acceleration_finite_differenced"] == [False] * nq
+    np.testing.assert_allclose(h0["marker_rms"], ph0["marker_rms"])
+    np.testing.assert_allclose(
+        h1["linear_residual"], ph1["linear_residual"]
+    )
+    np.testing.assert_allclose(
+        h1["angular_residual"], ph1["angular_residual"]
+    )
+    assert h1["lowpass_cutoff_frequency"] == pytest.approx(30.0)
+    assert h1["lowpass_filter_order"] == 4
+    np.testing.assert_allclose(h1["force_plate_cutoff"], [10.0])
+    fr = r.read_frames(0)
+    for p in range(2):
+        np.testing.assert_allclose(fr.pos[p], poses)
+        np.testing.assert_allclose(fr.com_vel[p], com_vel)
+        np.testing.assert_allclose(fr.com_acc[p], com_acc)
+        np.testing.assert_allclose(fr.root_frame_residual[p], root_res)
+    np.testing.assert_allclose(fr.acc_obs, acc_obs.reshape(T, -1))
+    np.testing.assert_allclose(fr.gyro_obs, gyro_obs.reshape(T, -1))
+    np.testing.assert_allclose(fr.emg_obs, emg)
+    np.testing.assert_allclose(fr.custom_values, custom)
+
+
+@pytest.mark.skipif(not os.path.exists(B3D), reason="reference data absent")
+def test_b3d_reference_subject_survives_rewrite(tmp_path):
+    """A reference-produced subject survives read -> write -> read
+    (VERDICT #8): carry the real results.b3d's kinematics pass, pass
+    headers, sensors, and metadata through OUR writer and verify the
+    re-read matches the original."""
+    from nimblephysics_tpu.biomechanics.b3d_writer import (
+        write_b3d_reference_format,
+    )
+
+    src = read_b3d(B3D)
+    t0 = src.trials[0]
+    n = min(t0.length, 40)
+    fr = src.read_frames(0, 0, n)
+    path = str(tmp_path / "rewrite.b3d")
+    write_b3d_reference_format(
+        path, num_dofs=src.num_dofs,
+        trials=[dict(
+            name=t0.name, timestep=t0.timestep,
+            poses=fr.pos[0], vels=fr.vel[0], accs=fr.acc[0],
+            taus=fr.tau[0],
+            wrenches=fr.ground_contact_wrench[0],
+            com=fr.com_pos[0],
+            marker_obs=fr.marker_obs,
+            plate_cop=fr.raw_force_plate_cop,
+            plate_torque=fr.raw_force_plate_torque,
+            plate_force=fr.raw_force_plate_force,
+            pass_headers=[
+                {**t0.pass_headers[0], "marker_rms":
+                 t0.pass_headers[0]["marker_rms"][:n],
+                 "marker_max": t0.pass_headers[0]["marker_max"][:n],
+                 "linear_residual":
+                 t0.pass_headers[0]["linear_residual"][:n],
+                 "angular_residual":
+                 t0.pass_headers[0]["angular_residual"][:n]}
+            ] if t0.pass_headers else None,
+            missing_grf_reason=t0.missing_grf_reason[:n],
+            tags=t0.tags,
+        )],
+        ground_contact_bodies=src.ground_contact_bodies,
+        marker_names=src.marker_names,
+        pass_types=[src.pass_types[0]] if src.pass_types else [0],
+        biological_sex=src.biological_sex,
+        height_m=src.height_m, mass_kg=src.mass_kg,
+        age_years=src.age_years,
+    )
+    rt = read_b3d(path)
+    assert rt.num_dofs == src.num_dofs
+    assert rt.ground_contact_bodies == src.ground_contact_bodies
+    assert rt.marker_names == src.marker_names
+    assert rt.trials[0].tags == t0.tags
+    if t0.pass_headers:
+        np.testing.assert_allclose(
+            rt.trials[0].pass_headers[0]["linear_residual"],
+            t0.pass_headers[0]["linear_residual"][:n],
+        )
+    fr2 = rt.read_frames(0)
+    np.testing.assert_allclose(fr2.pos[0], fr.pos[0])
+    np.testing.assert_allclose(
+        fr2.ground_contact_wrench[0], fr.ground_contact_wrench[0]
+    )
+    # NaN-safe marker comparison (unobserved markers are NaN).
+    np.testing.assert_array_equal(
+        np.isnan(fr2.marker_obs), np.isnan(fr.marker_obs)
+    )
+    m = ~np.isnan(fr.marker_obs)
+    np.testing.assert_allclose(fr2.marker_obs[m], fr.marker_obs[m])
+
+
 @pytest.mark.skipif(not os.path.exists(B3D), reason="reference data absent")
 def test_b3d_poses_fk_matches_observed_markers():
     """CROSS-ENGINE ORACLE: run OUR forward kinematics on the .b3d's own
