@@ -5,10 +5,12 @@ from nimblephysics_tpu.trajectory.problem import (
     MultiShot,
     Problem,
     SingleShot,
+    TerminalResiduals,
     TrajectoryRollout,
 )
 from nimblephysics_tpu.trajectory.optimizers import (
     AugmentedLagrangianOptimizer,
+    GaussNewtonOptimizer,
     IPOptOptimizer,
     SGDOptimizer,
     Solution,

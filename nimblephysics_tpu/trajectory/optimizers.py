@@ -227,9 +227,18 @@ class GaussNewtonOptimizer:
         residuals: Callable[[jnp.ndarray], jnp.ndarray],
         x0: Optional[jnp.ndarray] = None,
         callback: Optional[Callable] = None,
+        structured_jacobian: bool = False,
     ) -> Solution:
         """`residuals(x)` must satisfy problem.loss(x) ~= sum(residuals^2)
-        (the optimizer minimizes the residual form)."""
+        (the optimizer minimizes the residual form).
+
+        structured_jacobian=True builds J from scan-accumulated per-step
+        state-transition products (problem.constraint_jacobian_scan +
+        residuals.jacobian, e.g. a TerminalResiduals) instead of jacrev
+        of the whole rollout — same values, compile time independent of
+        the unrolled reverse-mode graph (kills the 23-min Atlas compile;
+        reference analog: MultiShot::backpropJacobian accumulates
+        KnotJacobians per step, MultiShot.cpp:475-584)."""
         if x0 is None:
             x0 = problem.initial_guess(problem.start_state)
         nc = problem.num_constraints
@@ -244,10 +253,25 @@ class GaussNewtonOptimizer:
                 [r, jnp.sqrt(rho) * (h + lam / rho)]
             )
 
+        if structured_jacobian:
+            res_jac = getattr(residuals, "jacobian", None)
+            if res_jac is None:
+                res_jac = lambda x: jax.jacrev(residuals)(x)  # noqa: E731
+
+            def jac_aug(x, rho):
+                Jr = res_jac(x)
+                if nc == 0:
+                    return Jr
+                Jh = problem.constraint_jacobian_scan(x)
+                return jnp.concatenate([Jr, jnp.sqrt(rho) * Jh], axis=0)
+
         @jax.jit
         def lm_step(x, lam, rho, mu):
             r = r_aug(x, lam, rho)
-            J = jax.jacrev(lambda xx: r_aug(xx, lam, rho))(x)
+            if structured_jacobian:
+                J = jac_aug(x, rho)
+            else:
+                J = jax.jacrev(lambda xx: r_aug(xx, lam, rho))(x)
             g = J.T @ r
             H = J.T @ J
             # Marquardt scaling: damp with mu * diag(H), not mu * I —

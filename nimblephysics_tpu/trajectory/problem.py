@@ -290,8 +290,172 @@ class MultiShot(Problem):
         """Reference parity: MultiShot::backpropJacobian (cpp:475)."""
         return jax.jacrev(self.constraints)(x)
 
+    # -- scan-accumulated Jacobians (the reference's KnotJacobian scheme) --
+
+    def _step_jacobians(self, x):
+        """Per-step state-transition Jacobians A_t = d s_{t+1} / d s_t and
+        B_t = d s_{t+1} / d u_t for every shot, plus the post-step states.
+
+        This is the TPU form of the reference's KnotJacobian accumulation
+        (SingleShot::backpropJacobianOfFinalState, MultiShot::
+        backpropJacobian, MultiShot.cpp:475-584): ONE compiled single-step
+        Jacobian scanned over the horizon, instead of reverse-mode AD over
+        the whole unrolled rollout (jax.jacrev of a 33-dof Atlas rollout
+        took ~23 min to compile; this compiles in seconds and is
+        algebraically identical).
+
+        Returns (A (S, L, 2nv, 2nv), B (S, L, 2nv, na), states
+        (S, L, 2nv)).
+        """
+        starts, forces = self._split(x)
+        if self._pinned:
+            flat = self._apply_pins(forces.reshape(self.steps, self.na))
+            forces = flat.reshape(self.num_shots, self.shot_length, self.na)
+
+        def g(s, u):
+            s2 = self.engine.state_step(s, u)
+            return s2, s2
+
+        step_jac = jax.jacrev(g, argnums=(0, 1), has_aux=True)
+
+        def one_shot(s0, us):
+            def body(s, u):
+                (A, B), s2 = step_jac(s, u)
+                return s2, (A, B, s2)
+
+            _, (A, B, states) = jax.lax.scan(body, s0, us)
+            return A, B, states
+
+        A, B, states = jax.vmap(one_shot)(starts, forces)
+        if self._pinned:
+            # Pinned force rows are overridden by constants: their columns
+            # of the Jacobian wrt the OPTIMIZATION variables are zero.
+            mask = np.ones(self.steps)
+            for t in self._pinned:
+                mask[t] = 0.0
+            B = B * jnp.asarray(mask).reshape(
+                self.num_shots, self.shot_length, 1, 1
+            )
+        return A, B, states
+
+    @staticmethod
+    def _accumulate_shot(A, B):
+        """For one shot: E = d end / d start = A_{L-1} ... A_0 and
+        F_t = d end / d u_t = (A_{L-1} ... A_{t+1}) B_t, by one reverse
+        scan of matrix products."""
+
+        def rev(H, AB):
+            At, Bt = AB
+            return H @ At, H @ Bt
+
+        E, F = jax.lax.scan(
+            rev, jnp.eye(A.shape[-1], dtype=A.dtype), (A, B), reverse=True
+        )
+        return E, F
+
+    def shot_sensitivities(self, x):
+        """(E (S, 2nv, 2nv), F (S, L, 2nv, na), states): per-shot
+        end-state sensitivities wrt the shot start and each force row."""
+        A, B, states = self._step_jacobians(x)
+        E, F = jax.vmap(self._accumulate_shot)(A, B)
+        return E, F, states
+
+    def constraint_jacobian_scan(self, x: jnp.ndarray) -> jnp.ndarray:
+        """d h / d x assembled from scan-accumulated per-step Jacobians —
+        identical values to `constraint_jacobian` (tested), compile time
+        independent of the horizon's unrolled reverse-mode graph."""
+        E, F, _ = self.shot_sensitivities(x)
+        S, L = self.num_shots, self.shot_length
+        ns = 2 * self.nv
+        nknot = (S - 1) * ns
+        n = self.num_variables
+        J = jnp.zeros((self.num_constraints, n), dtype=x.dtype)
+        eye = jnp.eye(ns, dtype=x.dtype)
+        for i in range(S - 1):
+            r = i * ns
+            # h_i = end(shot_i) - knot_i; start of shot_i is knot_{i-1}
+            # (shot 0 starts at the fixed start state).
+            if i > 0:
+                J = J.at[r : r + ns, (i - 1) * ns : i * ns].set(E[i])
+            J = J.at[r : r + ns, i * ns : (i + 1) * ns].set(-eye)
+            fcols = F[i].transpose(1, 0, 2).reshape(ns, L * self.na)
+            c0 = nknot + i * L * self.na
+            J = J.at[r : r + ns, c0 : c0 + L * self.na].set(fcols)
+        return J
+
+    def final_state_jacobian(self, x: jnp.ndarray):
+        """d (end state of the LAST shot) / d x, (2nv, n) — the terminal
+        sensitivity used by TerminalResiduals (reference:
+        backpropJacobianOfFinalState)."""
+        E, F, _ = self.shot_sensitivities(x)
+        S, L = self.num_shots, self.shot_length
+        ns = 2 * self.nv
+        nknot = (S - 1) * ns
+        J = jnp.zeros((ns, self.num_variables), dtype=x.dtype)
+        if S > 1:
+            J = J.at[:, (S - 2) * ns : (S - 1) * ns].set(E[-1])
+        fcols = F[-1].transpose(1, 0, 2).reshape(ns, L * self.na)
+        c0 = nknot + (S - 1) * L * self.na
+        J = J.at[:, c0 : c0 + L * self.na].set(fcols)
+        return J
+
     def initial_guess(self, start_state: jnp.ndarray) -> jnp.ndarray:
         self.start_state = start_state
         knots = jnp.tile(start_state[None], (self.num_shots - 1, 1))
         forces = jnp.zeros((self.steps, self.na))
         return jnp.concatenate([knots.reshape(-1), forces.reshape(-1)])
+
+
+class TerminalResiduals:
+    """Residuals that touch the rollout only through the FINAL state and
+    the force matrix — the common shooting-objective class (reach target
+    + terminal velocity + effort, e.g. test_AtlasTrajectory.cpp's loss).
+
+    Callable as `residuals(x)` for GaussNewtonOptimizer, and provides an
+    analytic `jacobian(x)` composed from the problem's scan-accumulated
+    terminal sensitivity (MultiShot.final_state_jacobian) and a
+    SMALL-function jacrev of `fn` — so the optimizer never reverse-
+    differentiates an unrolled rollout (the 23-min-compile path this
+    replaces; see _step_jacobians)."""
+
+    def __init__(self, problem: "MultiShot", fn):
+        """fn(final_state (2nv,), forces (T, na)) -> residual vector."""
+        self.problem = problem
+        self.fn = fn
+
+    def _final_and_forces(self, x):
+        p = self.problem
+        starts, forces = p._split(x)
+        if p._pinned:
+            flat = p._apply_pins(forces.reshape(p.steps, p.na))
+            forces = flat.reshape(p.num_shots, p.shot_length, p.na)
+
+        def one_shot(s0, us):
+            def body(s, u):
+                s2 = p.engine.state_step(s, u)
+                return s2, None
+
+            sL, _ = jax.lax.scan(body, s0, us)
+            return sL
+
+        ends = jax.vmap(one_shot)(starts, forces)
+        return ends[-1], forces.reshape(p.steps, p.na)
+
+    def __call__(self, x):
+        final, forces = self._final_and_forces(x)
+        return self.fn(final, forces)
+
+    def jacobian(self, x):
+        p = self.problem
+        final, forces = self._final_and_forces(x)
+        dr_de, dr_df = jax.jacrev(self.fn, argnums=(0, 1))(final, forces)
+        J = dr_de @ p.final_state_jacobian(x)
+        nknot = (p.num_shots - 1) * 2 * p.nv
+        nr = dr_de.shape[0]
+        dr_df = dr_df.reshape(nr, p.steps * p.na)
+        if p._pinned:
+            mask = np.ones(p.steps)
+            for t in p._pinned:
+                mask[t] = 0.0
+            dr_df = dr_df * jnp.repeat(jnp.asarray(mask), p.na)[None, :]
+        return J.at[:, nknot:].add(dr_df)

@@ -24,12 +24,6 @@ ATLAS = "/root/reference/data/sdf/atlas/atlas_v3_no_head.sdf"
 
 
 @pytest.mark.skipif(not os.path.exists(ATLAS), reason="reference data absent")
-@pytest.mark.skipif(
-    not os.environ.get("NT_SLOW"),
-    reason="~23 min on this 1-core box (jacrev compile of the 33-dof "
-    "Atlas rollout dominates); run with NT_SLOW=1. Last full run: "
-    "PASSED — knot feasibility 8.3e-6 <= 1e-4 (BASELINE config #4).",
-)
 def test_atlas_multishot_gauss_newton():
     from nimblephysics_tpu.utils.sdf_parser import parse_sdf_world
 
@@ -68,16 +62,26 @@ def test_atlas_multishot_gauss_newton():
     hand0 = np.asarray(hand_pos(jnp.asarray(q_init)))
     target = jnp.asarray(hand0 + np.array([0.05, 0.05, 0.08]))
 
+    # Terminal-residual form: residuals depend on the rollout only through
+    # the final state + forces, so the Gauss-Newton Jacobian is built from
+    # scan-accumulated per-step state-transition products
+    # (TerminalResiduals.jacobian + constraint_jacobian_scan) instead of
+    # jacrev of the unrolled 33-dof rollout — the previous ~23-min compile
+    # that kept this test NT_SLOW-gated (VERDICT r3 #5). Reference analog:
+    # MultiShot::backpropJacobian KnotJacobian accumulation.
     def residuals_of(problem):
-        def residuals(x):
-            ro = problem.rollout(x)
-            qf = ro.poses[-1]
+        from nimblephysics_tpu.trajectory import TerminalResiduals
+
+        nv = 33
+
+        def fn(final, forces):
+            qf = final[:nv]
             r_hand = 3.0 * (hand_pos(qf) - target)
-            r_vel = 0.05 * ro.vels[-1]
-            r_eff = 0.002 * ro.forces.reshape(-1)
+            r_vel = 0.05 * final[nv:]
+            r_eff = 0.002 * forces.reshape(-1)
             return jnp.concatenate([r_hand, r_vel, r_eff])
 
-        return residuals
+        return TerminalResiduals(problem, fn)
 
     def loss(rollout):
         qf = rollout.poses[-1]
@@ -95,7 +99,9 @@ def test_atlas_multishot_gauss_newton():
     opt = GaussNewtonOptimizer(
         outer_iterations=5, inner_iterations=6, rho0=100.0
     )
-    sol = opt.optimize(prob, residuals_of(prob), x0=x0)
+    sol = opt.optimize(
+        prob, residuals_of(prob), x0=x0, structured_jacobian=True
+    )
 
     loss0 = float(prob.loss(x0))
     # The reference criterion (and BASELINE config #4 target): the
@@ -217,3 +223,53 @@ def test_kr5_multishot_gauss_newton_reach():
     )
     assert reach_err <= 0.02, reach_err
     assert np.isfinite(np.asarray(sol.rollout.poses)).all()
+
+
+def test_structured_jacobians_match_jacrev():
+    """The scan-accumulated Jacobians (constraint_jacobian_scan,
+    TerminalResiduals.jacobian) must equal whole-rollout jacrev exactly
+    — they are the same math accumulated per step (MultiShot.cpp:475
+    KnotJacobian products) instead of reverse-differentiated end-to-end."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from worlds import cartpole as cartpole_skel
+
+    from nimblephysics_tpu.trajectory import TerminalResiduals
+
+    world = World(gravity=(0.0, 0.0, -9.81), time_step=0.02)
+    world.add_skeleton(cartpole_skel())
+    world.set_action_space([0])
+    start = jnp.asarray([0.05, 0.2, -0.1, 0.3])
+    prob = MultiShot(world, lambda ro: jnp.sum(ro.poses**2), steps=12,
+                     shot_length=4, start_state=start)
+    prob.pin_force(5, np.array([0.7]))
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(prob.num_variables) * 0.1)
+
+    J_scan = prob.constraint_jacobian_scan(x)
+    J_ref = prob.constraint_jacobian(x)
+    np.testing.assert_allclose(
+        np.asarray(J_scan), np.asarray(J_ref), rtol=1e-8, atol=1e-10
+    )
+
+    def fn(final, forces):
+        return jnp.concatenate(
+            [3.0 * final[:2], 0.1 * final[2:], 0.01 * forces.reshape(-1)]
+        )
+
+    tr = TerminalResiduals(prob, fn)
+    np.testing.assert_allclose(
+        np.asarray(tr.jacobian(x)),
+        np.asarray(jax.jacrev(lambda xx: tr(xx))(x)),
+        rtol=1e-8, atol=1e-10,
+    )
+    # And the residual VALUES agree with the rollout-based form.
+    ro = prob.rollout(x)
+    r_ro = jnp.concatenate(
+        [3.0 * ro.poses[-1], 0.1 * ro.vels[-1],
+         0.01 * ro.forces.reshape(-1)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr(x)), np.asarray(r_ro), rtol=1e-8, atol=1e-10
+    )
