@@ -231,3 +231,36 @@ class StreamingMocapLab:
             self._server.close()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+        if getattr(self, "_cortex", None) is not None:
+            self._cortex.disconnect()
+            self._cortex = None
+
+    def listen_to_cortex(
+        self, host: str = "127.0.0.1", data_port: int = 1001,
+        labeled: bool = True,
+    ):
+        """Consume a live Motion Analysis Cortex data stream (reference:
+        StreamingMocapLab::listenToCortex wiring CortexStreaming's frame
+        handler into StreamingIK). Returns the CortexClient; frames
+        arriving on its data socket drive the IK solver thread.
+
+        For offline replay of recorded Cortex packets, feed raw datagram
+        bytes to `client.handle_datagram(...)` instead of connect()."""
+        from nimblephysics_tpu.biomechanics.cortex import CortexClient
+
+        client = CortexClient(host=host, data_port=data_port)
+        t0 = time.time()
+
+        def on_frame(marker_names, markers, cop_torque_forces):
+            self.ik.observe_frame(
+                time.time() - t0,
+                np.asarray(markers, dtype=np.float64).reshape(-1, 3),
+                labeled=labeled,
+            )
+
+        client.set_frame_handler(on_frame)
+        if data_port is not None:
+            client.connect()
+        self.ik.start_solver_thread()
+        self._cortex = client
+        return client
