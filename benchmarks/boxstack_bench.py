@@ -19,16 +19,20 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 4096
 INNER_STEPS = 100
 REPEATS = 3
+
+# Many-contact scaling sweep (VERDICT r3 #6): batch sizes shrink as the
+# per-world LCP grows (full-world dense rows ~ O(boxes)); steps/sec/chip
+# stays comparable because the metric is env-steps, not lanes.
+CONFIGS = ((2, 4096), (3, 4096), (5, 2048), (10, 1024), (20, 256))
 
 
 def main():
     from nimblephysics_tpu.batched import BatchedEngine
     from nimblephysics_tpu.models import box_stack
 
-    for n_boxes in (2, 3):
+    for n_boxes, BATCH in CONFIGS:
         world, q0, v0 = box_stack(n_boxes=n_boxes)
         engine = BatchedEngine(world)
         dtype = jnp.float32
@@ -73,8 +77,12 @@ def main():
             json.dumps(
                 {
                     "metric": (
-                        f"boxstack{n_boxes}_env_steps_per_sec_4096worlds"
+                        f"boxstack{n_boxes}_env_steps_per_sec_"
+                        f"{BATCH}worlds"
                     ),
+                    "n_boxes": n_boxes,
+                    "batch": BATCH,
+                    "lcp_rows": int(engine.meta.n),
                     "value": round(BATCH * INNER_STEPS / best, 1),
                     "unit": "steps/sec/chip",
                     "stack_standing": standing,

@@ -133,6 +133,44 @@ class TestTickerAndBuffer:
         np.testing.assert_allclose(buf.control_at(99.0), [6, 7])  # clamp
 
 
+class TestMPCWireBytes:
+    def test_listen_reply_bytes_pinned(self):
+        """Byte-level schema-drift insurance for the MPC gRPC surface
+        (VERDICT r3 #10): a recorded MPCListenForUpdatesReply
+        serialization is checked in; the same logical message must
+        re-serialize to the identical bytes, and the recorded bytes must
+        decode back to the same fields. Any change to field numbers,
+        types, or the Eigen column-major packing (SerializeEigen.cpp
+        parity) breaks this test. Ref: proto/MPC.proto,
+        proto/TrajectoryRollout.proto."""
+        pytest.importorskip("google.protobuf")
+        import os
+
+        from nimblephysics_tpu.realtime.mpc_grpc import _mat, _mat_to_np, \
+            load_messages
+
+        golden_path = os.path.join(
+            os.path.dirname(__file__), "data", "mpc_listen_reply.golden.bin"
+        )
+        with open(golden_path, "rb") as f:
+            golden = f.read()
+
+        M = load_messages()
+        plan = np.array([[0.5, -1.25, 2.0], [0.125, 0.0, -3.5]])
+        reply = M["MPCListenForUpdatesReply"]()
+        reply.startTime = 1234
+        reply.rollout.representationMapping = "identity"
+        reply.rollout.force["identity"].CopyFrom(_mat(M, plan))
+        assert reply.SerializeToString() == golden
+
+        decoded = M["MPCListenForUpdatesReply"].FromString(golden)
+        assert decoded.startTime == 1234
+        assert decoded.rollout.representationMapping == "identity"
+        np.testing.assert_array_equal(
+            _mat_to_np(decoded.rollout.force["identity"]), plan
+        )
+
+
 class TestMPCGrpc:
     def test_grpc_service_roundtrip(self):
         """Reference MPCService wire parity (proto/MPC.proto semantics):
