@@ -101,12 +101,20 @@ class MarkerFitter:
         dt: Optional[float] = None,
         joint_limits: bool = True,
         pose_regularization: float = 1e-4,
+        outer_solver: str = "adam",
     ) -> MarkerFitResult:
         """Bilevel fit (reference: MarkerFitter::runKinematicsPipeline).
 
         Alternating scheme, all jit-compiled:
           inner: vmapped damped Gauss-Newton IK on every frame's pose
-          outer: Adam on (log body scales, free marker offsets)
+          outer: Adam on (log body scales, free marker offsets) — or,
+          with outer_solver="gn", one Levenberg-damped Gauss-Newton step
+          per alternation on the same variables. GN is the second-order
+          analog of the reference's IPOPT outer problem
+          (MarkerFitter.hpp:596-605) and reaches the reference's golden
+          bounds in ~10 alternations where Adam needs hundreds (the
+          Arnold2013 regression runs it in default CI). Requires no
+          anthropometric prior (falls back to Adam when one is set).
         """
         skel = self.skel
         nq = skel.num_dofs
@@ -207,27 +215,88 @@ class MarkerFitter:
 
         outer_grad = jax.jit(jax.value_and_grad(outer_loss, argnums=(0, 1)))
 
-        m_s = jnp.zeros_like(log_scales)
-        v_s = jnp.zeros_like(log_scales)
-        m_o = jnp.zeros_like(d_offsets)
-        v_o = jnp.zeros_like(d_offsets)
+        if outer_solver == "gn" and self.anthro is None:
+            # Levenberg-damped Gauss-Newton on theta = [log_s; d_off]:
+            # residuals are the per-marker errors (count-normalized to
+            # match outer_loss's data term) plus the regularizer rows.
+            n_s = n_scale_params * 3
+            n_theta = n_s + M * 3
+            w_off_row = jnp.where(
+                fixed, self.reg_offsets, self.reg_tracking
+            )
 
-        for it in range(outer_iterations):
-            scales = scales_of(log_scales)
-            offsets = offsets_of(d_offsets)
-            poses = ik_all(poses, scales, offsets, obs, mask)
-            _, (gs, go) = outer_grad(log_scales, d_offsets, poses)
-            t = it + 1.0
-            m_s = 0.9 * m_s + 0.1 * gs
-            v_s = 0.999 * v_s + 0.001 * gs * gs
-            log_scales = log_scales - lr_scales * (
-                m_s / (1 - 0.9**t)
-            ) / (jnp.sqrt(v_s / (1 - 0.999**t)) + 1e-8)
-            m_o = 0.9 * m_o + 0.1 * go
-            v_o = 0.999 * v_o + 0.001 * go * go
-            d_offsets = d_offsets - lr_offsets * (
-                m_o / (1 - 0.9**t)
-            ) / (jnp.sqrt(v_o / (1 - 0.999**t)) + 1e-8)
+            def theta_residuals(theta, poses):
+                log_s = theta[:n_s].reshape(n_scale_params, 3)
+                d_off = theta[n_s:].reshape(M, 3)
+                scales = scales_of(log_s)
+                offsets = offsets_of(d_off)
+
+                def frame_res(q, ob, mk):
+                    pred = self._markers_at(q, scales, offsets)
+                    return jnp.where(mk[:, None], pred - ob, 0.0)
+
+                data = jax.vmap(frame_res)(poses, obs, mask).reshape(-1)
+                data = data / jnp.sqrt(
+                    jnp.maximum(jnp.sum(mask), 1.0)
+                )
+                r_s = jnp.sqrt(self.reg_scales / n_s) * log_s.reshape(-1)
+                r_o = (
+                    jnp.sqrt(w_off_row[:, None] / (M * 3)) * d_off
+                ).reshape(-1)
+                return jnp.concatenate([data, r_s, r_o])
+
+            @jax.jit
+            def gn_outer_step(theta, poses, mu):
+                r = theta_residuals(theta, poses)
+                J = jax.jacfwd(theta_residuals)(theta, poses)
+                g = J.T @ r
+                H = J.T @ J
+                D = jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-10))
+                dt_ = jnp.linalg.solve(H + mu * D, -g)
+                f0 = jnp.sum(r * r)
+                r1 = theta_residuals(theta + dt_, poses)
+                f1 = jnp.sum(r1 * r1)
+                accept = f1 < f0
+                theta = jnp.where(accept, theta + dt_, theta)
+                mu = jnp.where(accept, jnp.maximum(mu / 3.0, 1e-10),
+                               mu * 4.0)
+                return theta, mu
+
+            theta = jnp.concatenate(
+                [log_scales.reshape(-1), d_offsets.reshape(-1)]
+            )
+            mu = jnp.asarray(1e-3)
+            for it in range(outer_iterations):
+                log_scales = theta[:n_s].reshape(n_scale_params, 3)
+                d_offsets = theta[n_s:].reshape(M, 3)
+                scales = scales_of(log_scales)
+                offsets = offsets_of(d_offsets)
+                poses = ik_all(poses, scales, offsets, obs, mask)
+                theta, mu = gn_outer_step(theta, poses, mu)
+            log_scales = theta[:n_s].reshape(n_scale_params, 3)
+            d_offsets = theta[n_s:].reshape(M, 3)
+        else:
+            m_s = jnp.zeros_like(log_scales)
+            v_s = jnp.zeros_like(log_scales)
+            m_o = jnp.zeros_like(d_offsets)
+            v_o = jnp.zeros_like(d_offsets)
+
+            for it in range(outer_iterations):
+                scales = scales_of(log_scales)
+                offsets = offsets_of(d_offsets)
+                poses = ik_all(poses, scales, offsets, obs, mask)
+                _, (gs, go) = outer_grad(log_scales, d_offsets, poses)
+                t = it + 1.0
+                m_s = 0.9 * m_s + 0.1 * gs
+                v_s = 0.999 * v_s + 0.001 * gs * gs
+                log_scales = log_scales - lr_scales * (
+                    m_s / (1 - 0.9**t)
+                ) / (jnp.sqrt(v_s / (1 - 0.999**t)) + 1e-8)
+                m_o = 0.9 * m_o + 0.1 * go
+                v_o = 0.999 * v_o + 0.001 * go * go
+                d_offsets = d_offsets - lr_offsets * (
+                    m_o / (1 - 0.9**t)
+                ) / (jnp.sqrt(v_o / (1 - 0.999**t)) + 1e-8)
 
         scales = scales_of(log_scales)
         offsets = offsets_of(d_offsets)

@@ -9,10 +9,11 @@ averageMaxError <= 0.02, joint-center error <= 0.02 m, body-scale error
 they time out its CI).
 
 Here: subject01's walk2 trial through OUR pipeline (IKInitializer +
-bilevel MarkerFitter) on a frame subsample sized for the 1-core CI box.
-The default-suite test uses the reference's pose/joint-center bounds;
-marker RMSE gets the reference bound when NT_SLOW=1 (full-length fit)
-and a documented 2x-relaxed bound for the abbreviated default fit.
+bilevel MarkerFitter with the Gauss-Newton outer solver) at stride 10.
+The reference's marker-RMSE bound (<= 0.01 m) is armed in DEFAULT CI
+(round-3 verdict #7) — the GN outer converges in ~20 alternations where
+the Adam outer needed hundreds; NT_SLOW only densifies the frames and
+tightens max-error to the reference's 0.02.
 
 This is the cross-engine golden oracle the FD battery cannot provide: a
 convention mismatch (sign flips, euler-order, marker frames) would fail
@@ -91,20 +92,29 @@ def _run_fit(obs, generic, outer, ik):
     init = IKInitializer(skel)
     q0 = init.initialize(obs)
     groups = ScaleGroups.from_symmetry(skel)
-    fitter = MarkerFitter(skel, scale_groups=groups)
+    # GN outer (second-order, the analog of the reference's IPOPT outer
+    # problem) + anatomical offsets regularized at tracking-marker
+    # strength: this synthetic subject's "anatomical" markers were
+    # placed on the gold skeleton, so subject-specific placement freedom
+    # is the signal, not noise (the reference fit does the same via its
+    # regularizeAnatomicalMarkerOffsets pipeline stage weights).
+    fitter = MarkerFitter(
+        skel, scale_groups=groups, regularize_offsets=1.0
+    )
     return fitter.fit(
-        obs, q_init=q0, outer_iterations=outer, ik_iterations=ik
+        obs, q_init=q0, outer_iterations=outer, ik_iterations=ik,
+        outer_solver="gn", pose_regularization=2e-5,
     )
 
 
 def test_subject01_marker_fitter_recovers_gold():
     generic, gold, trc, mot, frames = _load_case(
-        stride=20 if not SLOW else 4
+        stride=10 if not SLOW else 4
     )
     obs = _observed(generic, trc, frames)
     gold_q = _gold_poses(generic, gold, mot, trc, frames)
     res = _run_fit(
-        obs, generic, outer=30 if not SLOW else 120, ik=8
+        obs, generic, outer=20 if not SLOW else 40, ik=12
     )
 
     # 1. Marker errors via the IKErrorReport (reference asserts
@@ -117,8 +127,10 @@ def test_subject01_marker_fitter_recovers_gold():
         body_scales=res.body_scales, marker_offsets=res.marker_offsets,
     )
     report.print_report(limit_timesteps=3)
-    rmse_bound = 0.01 if SLOW else 0.02
-    max_bound = 0.02 if SLOW else 0.06
+    # The REFERENCE bounds, armed in default CI (round-3 verdict #7: the
+    # 2x relaxation and the NT_SLOW split are gone for marker RMSE).
+    rmse_bound = 0.01
+    max_bound = 0.02 if SLOW else 0.03
     assert report.average_root_mean_squared_error <= rmse_bound, (
         report.average_root_mean_squared_error
     )
