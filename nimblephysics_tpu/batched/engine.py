@@ -421,16 +421,19 @@ class BatchedEngine:
         fallback_cfm: Optional[float] = None,
         fallback_gradients=None,
         collect_valid: bool = False,
+        ladder_mode: Optional[str] = None,
     ) -> BatchedStepResult:
         """One batch-minor physics step; pure and differentiable in
         (q, v, control) and, when given, in `body_params` (masses / coms /
         inertias / scales — lane-major mass/COM/inertia/scale gradients).
 
-        fallback_cfm / fallback_gradients override the World's
-        SolverConfig for this call (the deferred-ladder scan in
+        fallback_cfm / fallback_gradients / ladder_mode override the
+        World's SolverConfig for this call (the deferred-ladder scan in
         batched/rollout.py runs the hot scan with the ladder OFF and a
-        rare rerun with it armed); collect_valid=True populates
-        result.lcp_valid with the per-world primary LCP validity."""
+        rare rerun with it armed; ladder_mode="always" runs the rungs
+        cond-free with per-world selection — see batched/lcp.boxed_lcp_b);
+        collect_valid=True populates result.lcp_valid with the per-world
+        primary LCP validity."""
         w = self.world
         dt = w.time_step
         dtype = q.dtype
@@ -476,11 +479,14 @@ class BatchedEngine:
                 fallback_gradients = getattr(
                     w.solver, "fallback_gradients", False
                 )
+            if ladder_mode is None:
+                ladder_mode = getattr(w.solver, "ladder_mode", "lazy")
             lcp_out = boxed_lcp_b(
                 self.meta, F, b, mu, z_warm, cfm=w.solver.cfm,
                 fallback_cfm=fallback_cfm,
                 fallback_gradients=fallback_gradients,
                 return_valid=collect_valid,
+                ladder_mode=ladder_mode,
             )
             z, lcp_valid = lcp_out if collect_valid else (lcp_out, None)
             u = jnp.sum(F * z[:, None, :], axis=0)  # (nv, B)

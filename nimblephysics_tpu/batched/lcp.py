@@ -337,7 +337,8 @@ def _lcp_valid(meta: LcpMeta, F, cfm, b, mu, z):
 
 
 def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4,
-                fallback_gradients=False, return_valid=False):
+                fallback_gradients=False, return_valid=False,
+                ladder_mode="lazy"):
     """Batch-minor boxed LCP solve; see constraint/lcp.boxed_lcp
     (including the CFM-softened / ignore-friction failure ladder,
     BoxedLcpConstraintSolver.cpp:392-646 parity).
@@ -368,6 +369,21 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4,
     (pinned solve valid OR the PGS-polished seed fallback valid) — the
     hook for hoisting the failure ladder out of a rollout scan
     (batched/rollout.py).
+
+    ladder_mode selects how the armed ladder is scheduled:
+
+      * "lazy": guard the rungs with a lax.cond on "any world failed
+        validity" — pays nothing when every island is healthy, but the
+        cond is a fusion barrier inside rollout scans and its VJP is
+        expensive (benchmarks/README.md).
+      * "always": run the rungs UNCONDITIONALLY and select per world.
+        No cond, no fusion barrier, no cond-VJP: the two extra pinned
+        solves are pure forward FLOPs, and with fallback_gradients=False
+        they are stop-gradiented AND pruned from the jax.checkpoint
+        backward recompute (the final impulse is name-saved). The right
+        mode for throughput rollouts where a handful of worlds fail
+        validity on most steps, which made the lazy cond fire (and the
+        deferred-scan rerun trigger) on essentially every call.
 
     Args: F (n, r, B), b/mu/z_warm (n, B). Returns z (n, B)
     [, valid (B,)].
@@ -474,9 +490,13 @@ def boxed_lcp_b(meta: LcpMeta, F, b, mu, z_warm, cfm=0.0, fallback_cfm=1e-4,
                 return sg(z_fb_raw) + (z_grad - sg(z_grad))
             return z_fb_raw
 
-        z_fb = jax.lax.cond(
-            jnp.all(valid | valid_seed), lambda _: z_seed, run_ladder, None
-        )
+        if ladder_mode == "always":
+            z_fb = run_ladder(None)
+        else:
+            z_fb = jax.lax.cond(
+                jnp.all(valid | valid_seed), lambda _: z_seed, run_ladder,
+                None,
+            )
         if not fallback_gradients:
             z_fb = sg(z_fb)
     else:

@@ -66,6 +66,12 @@ class SolverConfig:
     # fallback_gradients="reclassify" (classify the ladder impulse, one
     # differentiable softened pinned solve — the reference recipe).
     fallback_gradients: bool = False
+    # Ladder scheduling: "lazy" guards the rungs with a lax.cond on "any
+    # world failed validity" (pays nothing when every island is healthy,
+    # but the cond is a fusion barrier in rollout scans); "always" runs
+    # the rungs cond-free with per-world selection — the faster choice
+    # when a handful of worlds fail on most steps (batched/lcp.boxed_lcp_b).
+    ladder_mode: str = "lazy"
     error_allowance: float = 0.0
     error_reduction_parameter: float = 0.01
     max_error_reduction_velocity: float = 1e-3

@@ -11,6 +11,7 @@ from nimblephysics_tpu.trajectory.problem import (
 from nimblephysics_tpu.trajectory.optimizers import (
     AugmentedLagrangianOptimizer,
     GaussNewtonOptimizer,
+    HostInteriorPointOptimizer,
     IPOptOptimizer,
     SGDOptimizer,
     Solution,

@@ -88,6 +88,26 @@ class TestMultiShot:
         assert sol.loss < float(prob.loss(x0)) * 0.5
         assert sol.rollout.poses.shape == (40, 2)
 
+    def test_host_interior_point_solves(self):
+        """HostInteriorPointOptimizer (the reference's IPOPT TNLP adapter
+        role, IPOptOptimizer.cpp:41-129): host NLP engine, device
+        derivatives, best-iterate recovery. Uses real IPOPT when cyipopt
+        is installed, scipy SLSQP otherwise."""
+        from nimblephysics_tpu.trajectory import HostInteriorPointOptimizer
+
+        prob, x0 = make_problem(MultiShot, steps=40, shot_length=10)
+        calls = []
+        opt = HostInteriorPointOptimizer(max_iterations=120)
+        sol = opt.optimize(
+            prob, x0, callback=lambda k, f, viol, x: calls.append((f, viol))
+        )
+        assert len(calls) > 5
+        assert sol.constraint_violation < 1e-4, sol.constraint_violation
+        assert sol.loss < float(prob.loss(x0)) * 0.2, (
+            sol.loss, float(prob.loss(x0))
+        )
+        assert np.isfinite(np.asarray(sol.rollout.poses)).all()
+
 
 class TestPinnedForcesAndMappings:
     def test_pinned_force_rows_are_fixed(self):
