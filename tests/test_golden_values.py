@@ -273,3 +273,161 @@ def test_servo_exact_tracking_golden():
     r = eng.step(jnp.asarray([0.7]), jnp.asarray([0.1]), jnp.asarray([0.5]))
     np.testing.assert_allclose(float(r.v[0]), 0.5, atol=1e-9)
     np.testing.assert_allclose(float(J[0, 0]), 1.0, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# 13: bounce WITH friction — restitution/friction-cone coupling
+# (round-3 verdict weak #6: no golden covered this; reference channel is
+# the UPPER_BOUND E-matrix coupling, ConstrainedGroupGradientMatrices.cpp
+# constructMatrices + ContactConstraint fIndex rows)
+# ---------------------------------------------------------------------------
+
+
+def test_bounce_with_friction_coupling_golden():
+    """Box falls FLAT with horizontal speed, bounces while sliding.
+
+    With all four corners at equal depth and omega = 0, symmetry +
+    complementarity give (derivation in-line, fully independent of the
+    engine):
+
+      * normal:   v_z' = -e v_z_pre          (v_z_pre = v_z_in - g dt)
+      * tangent:  the x-friction rows sit ON the cone (sliding through
+        the whole impact), so the total friction impulse is exactly
+        mu * P_n = mu m (1+e) |v_z_pre| and
+        v_x' = v_x + mu (1+e) v_z_pre   (v_z_pre < 0)
+      * rotation: front/back normal impulses redistribute to cancel the
+        friction pitch torque (p_f + p_b = P_n fixed by restitution,
+        p_f - p_b fixed by torque balance, both positive here), so
+        omega_y' = 0 exactly.
+
+    The COUPLED Jacobian dv_x'/dv_z_in = mu (1+e) is the golden the
+    Ridders battery cannot pin to an external truth: it is nonzero ONLY
+    through the friction-cone bound's dependence on the normal impulse
+    (UPPER_BOUND classification, E-matrix channel)."""
+    e, mu = 0.5, 0.3
+    w = _world(free_box(mass=1.0, friction=mu, restitution=e),
+               ground_plane(mu=1.0, restitution=1.0))
+    eng = Engine(w)
+    q = jnp.zeros(6).at[5].set(0.1 - 1e-5)
+    v_z_in, v_x = -2.0, 3.0
+    v = jnp.zeros(6).at[5].set(v_z_in).at[3].set(v_x)
+    v_z_pre = v_z_in - G * DT
+    # Sliding-throughout check (hand side-condition, not engine output):
+    # friction impulse mu(1+e)|v_z_pre| = 0.904 < m v_x = 3.
+    assert mu * (1 + e) * abs(v_z_pre) < v_x
+
+    r = eng.step(q, v, jnp.zeros(6))
+    np.testing.assert_allclose(float(r.v[5]), -e * v_z_pre, rtol=1e-8)
+    np.testing.assert_allclose(
+        float(r.v[3]), v_x + mu * (1 + e) * v_z_pre, rtol=1e-7
+    )
+    np.testing.assert_allclose(float(r.v[1]), 0.0, atol=1e-8)  # omega_y
+
+    # Coupled gradients: friction channel feels the normal approach speed
+    # through the cone bound only.
+    Jv = jax.jacfwd(lambda vv: eng.step(q, vv, jnp.zeros(6)).v)(v)
+    np.testing.assert_allclose(float(Jv[3, 5]), mu * (1 + e), rtol=1e-6)
+    np.testing.assert_allclose(float(Jv[5, 5]), -e, rtol=1e-6)
+    np.testing.assert_allclose(float(Jv[3, 3]), 1.0, atol=1e-7)
+    np.testing.assert_allclose(float(Jv[5, 3]), 0.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# 14-16: body-parameter gradients (GROUP_MASSES / GROUP_COMS /
+# GROUP_INERTIAS, WithRespectTo.hpp:62-75) against hand-derived truths
+# (round-3 verdict weak #6: inertia/scale gradients had no external oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_mass_gradient_through_contact_golden():
+    """Resting box: total normal impulse = m g dt, so d(sum z_n)/dm = g dt
+    exactly — the mass gradient THROUGH the contact LCP. Velocities stay
+    zero for any mass: dv'/dm = 0."""
+    from nimblephysics_tpu.dynamics.skeleton import default_body_params
+
+    w, eng, q = _resting_box(mass=2.0)
+    # World-level body params: flat (NB_total,) arrays over all bodies in
+    # skeleton order (box body 0, ground body 1).
+    parts = [default_body_params(sk) for sk in w.skeletons]
+    bp = {
+        key: jnp.concatenate([p[key] for p in parts]) for key in parts[0]
+    }
+
+    def normal_impulse_sum(m):
+        r = eng.step(
+            q, jnp.zeros(6), jnp.zeros(6), body_params={**bp, "masses": m}
+        )
+        C = r.contact_depths.shape[0]
+        return jnp.sum(r.impulses[: 3 * C][0::3])
+
+    m0 = bp["masses"]
+    np.testing.assert_allclose(
+        float(normal_impulse_sum(m0)), 2.0 * G * DT, rtol=1e-8
+    )
+    dPn_dm = jax.jacfwd(normal_impulse_sum)(m0)
+    np.testing.assert_allclose(float(dPn_dm[0]), G * DT, rtol=1e-6)
+
+    def vel(m):
+        return eng.step(
+            q, jnp.zeros(6), jnp.zeros(6), body_params={**bp, "masses": m}
+        ).v
+
+    dv_dm = jax.jacfwd(vel)(m0)
+    np.testing.assert_allclose(np.asarray(dv_dm), 0.0, atol=1e-7)
+
+
+def _horizontal_pendulum():
+    """Pendulum at theta = pi/2 (horizontal): lever d = l/2 = 0.5,
+    I_pivot = I_yy + m d^2 = 1/3, ddq = -m g d / I_pivot."""
+    from nimblephysics_tpu.dynamics.skeleton import default_body_params
+
+    w = _world(pendulum())
+    eng = Engine(w)
+    bp = default_body_params(w.skeletons[0])
+    q = jnp.asarray([np.pi / 2])
+
+    def next_v(params):
+        return eng.step(q, jnp.zeros(1), jnp.zeros(1),
+                        body_params=params).v[0]
+
+    return bp, next_v
+
+
+def test_com_gradient_golden():
+    """d v'/d com_z: with lever d = 0.5 - com_z (joint at +z/2 in body
+    frame), ddq = -m g d/(I + m d^2) and
+    d(ddq)/d com_z = g (I - m d^2)/(I + m d^2)^2 = -14.715 at the rod
+    values (I = 1/12, m = 1, d = 1/2)."""
+    bp, next_v = _horizontal_pendulum()
+    dv = jax.jacfwd(lambda c: next_v({**bp, "coms": c}))(bp["coms"])
+    expected = DT * G * (1.0 / 12.0 - 0.25) / (1.0 / 3.0) ** 2  # -dt*14.715
+    np.testing.assert_allclose(float(dv[0, 2]), expected, rtol=1e-9)
+    # com_x shifts the lever orthogonally to gravity at horizontal pose:
+    # ddq picks up -m g * 0 ... exactly zero first-order? No: com_x moves
+    # the mass along the swing direction, changing BOTH torque arm (no,
+    # gravity is along -z, arm for torque_y is the x-distance from the
+    # joint: d stays the z-lever) — at theta=pi/2 the body x-axis is
+    # vertical, so com_x adds a VERTICAL offset: torque gains
+    # -m g * 0 (com_x ⊥ gravity moment arm) but inertia gains m c_x^2
+    # (zero first-order at c_x = 0).
+    np.testing.assert_allclose(float(dv[0, 1]), 0.0, atol=1e-10)
+
+
+def test_inertia_gradient_golden():
+    """d v'/d I_yy = dt m g d / I_pivot^2 = dt * 44.145 exactly."""
+    bp, next_v = _horizontal_pendulum()
+    dv = jax.jacfwd(lambda I: next_v({**bp, "inertias": I}))(bp["inertias"])
+    expected = DT * 1.0 * G * 0.5 / (1.0 / 3.0) ** 2
+    np.testing.assert_allclose(float(dv[0, 1, 1]), expected, rtol=1e-9)
+    # Off-axis inertia entries do not enter a y-axis revolute's pivot
+    # inertia at this pose: zero gradient.
+    np.testing.assert_allclose(float(dv[0, 0, 0]), 0.0, atol=1e-10)
+
+
+def test_mass_gradient_smooth_golden():
+    """d v'/d m with inertia held fixed (masses and inertias are separate
+    WithRespectTo variables): d(ddq)/dm = -g d I/(I + m d^2)^2."""
+    bp, next_v = _horizontal_pendulum()
+    dv = jax.jacfwd(lambda m: next_v({**bp, "masses": m}))(bp["masses"])
+    expected = -DT * G * 0.5 * (1.0 / 12.0) / (1.0 / 3.0) ** 2
+    np.testing.assert_allclose(float(dv[0]), expected, rtol=1e-9)
