@@ -12,6 +12,11 @@ Prints one JSON line per config.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import json
 import time

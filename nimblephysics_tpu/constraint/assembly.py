@@ -126,6 +126,8 @@ class ConstraintAssembler:
             hi_const=hi_const if has_boxes else None,
             iterations=world.solver.lcp_iterations,
             solver=world.solver.lcp_solver,
+            refine_rounds=world.solver.lcp_refine_rounds,
+            seed_pgs_sweeps=world.solver.lcp_seed_pgs_sweeps,
             # Clamping count is bounded by the impulse-space rank (~nv);
             # gather the pinned solve to this static size (TPU speed).
             k_active=min(n, max(16, 2 * world.num_dofs + 8)),

@@ -48,6 +48,13 @@ class SolverConfig:
 
     lcp_solver: str = "apgd"  # iterative seed: "apgd" (TPU) | "pgs"
     lcp_iterations: int = 32
+    # Active-set refinement rounds after the iterative seed (masked
+    # Dantzig; constraint/lcp.LcpMeta.refine_rounds).
+    lcp_refine_rounds: int = 3
+    # Projected Gauss-Seidel polish sweeps on the APGD seed (the
+    # reference's PGS secondary solver role). Sequential row work — the
+    # main forward cost knob of the batched LCP on TPU.
+    lcp_seed_pgs_sweeps: int = 16
     cfm: float = 0.0
     fallback_cfm: float = 1e-4
     # Differentiate through the failure-ladder output? The reference DOES
@@ -88,6 +95,40 @@ class SolverConfig:
     contact_clipping_depth: float = 0.03
     # Activation margin for joint-limit constraint rows.
     joint_limit_margin: float = 0.0
+
+    @classmethod
+    def throughput(cls, **overrides) -> "SolverConfig":
+        """Preset for large-batch RL/training rollouts on TPU.
+
+        Measured on 4096 half-cheetah worlds, one v5e chip (A/B table in
+        benchmarks/README.md): forward 2.89M env-steps/s (vs 2.06M at the
+        defaults) and fwd+bwd policy-gradient training 1.06M at horizon
+        100 (vs 0.88M), with policy-gradient cosine agreement > 0.999
+        against the default config.
+
+        What it changes and why it is safe for rollouts:
+          * ladder_mode="always": the failure-ladder rungs run cond-free
+            with per-world selection — identical impulses, no fusion
+            barrier (the lazy cond fires on essentially every 4096-world
+            call anyway, since SOME world fails validity most steps).
+          * lcp_seed_pgs_sweeps=0: drops the sequential PGS polish; the
+            always-armed ladder's softened pinned rung now catches the
+            seed misclassifications the polish existed to prevent.
+          * lcp_refine_rounds=2 / lcp_iterations=24: one less active-set
+            refinement round and a shorter APGD seed — warm-started
+            rollouts re-converge the active set across steps, so the
+            extra round mostly re-proves the previous step's answer.
+
+        Single-step / cold-start / contact-heavy debugging should keep
+        the defaults (they mirror the reference's solver effort)."""
+        cfg = dict(
+            ladder_mode="always",
+            lcp_seed_pgs_sweeps=0,
+            lcp_refine_rounds=2,
+            lcp_iterations=24,
+        )
+        cfg.update(overrides)
+        return cls(**cfg)
 
 
 class World:

@@ -82,6 +82,90 @@ def test_cfm_ladder_batched_rescues_too():
     assert ok_yes.all(), "batched CFM ladder failed to rescue"
 
 
+def test_always_mode_matches_lazy():
+    """ladder_mode="always" (cond-free rungs + per-world select — the
+    SolverConfig.throughput() scheduling) must ship the SAME impulses as
+    the lazy cond ladder, on both wedged and healthy islands."""
+    meta = _contact_meta(2)
+    B = 4
+    F_b = np.repeat(_F[:, :, None], B, axis=2)
+    b_b = np.repeat(_B[:, None], B, axis=1)
+    mu_b = np.repeat(_MU[:, None], B, axis=1)
+    # Make lanes 2-3 healthy resting contacts so the batch mixes worlds
+    # that take the ladder with worlds that must not be perturbed by it.
+    F_b[:, :, 2:] = np.array(
+        [[1.0, 0.0], [0.0, 0.5], [0.3, 0.1],
+         [0.9, 0.05], [0.1, 0.6], [0.2, 0.2]]
+    )[:, :, None]
+    b_b[:, 2:] = np.array([0.2, 0.0, 0.0, 0.15, 0.0, 0.0])[:, None]
+    mu_b[:, 2:] = np.array([0.0, 0.9, 0.9, 0.0, 0.9, 0.9])[:, None]
+    F_b, b_b, mu_b = jnp.asarray(F_b), jnp.asarray(b_b), jnp.asarray(mu_b)
+    z0 = jnp.zeros((6, B))
+    z_lazy, ok_lazy = blcp.boxed_lcp_b(
+        meta, F_b, b_b, mu_b, z0, fallback_cfm=1e-4,
+        ladder_mode="lazy", return_valid=True,
+    )
+    z_alw, ok_alw = blcp.boxed_lcp_b(
+        meta, F_b, b_b, mu_b, z0, fallback_cfm=1e-4,
+        ladder_mode="always", return_valid=True,
+    )
+    # atol: XLA fuses the inline rungs differently from the cond branch
+    # (measured max |dz| = 1.4e-14 on the 100-magnitude wedged impulses).
+    np.testing.assert_allclose(np.asarray(z_lazy), np.asarray(z_alw),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_array_equal(np.asarray(ok_lazy), np.asarray(ok_alw))
+    # And on an all-healthy batch (where the lazy cond never fires).
+    Fh, bh, muh = F_b[:, :, 2:], b_b[:, 2:], mu_b[:, 2:]
+    zh0 = jnp.zeros((6, B - 2))
+    z_l = blcp.boxed_lcp_b(meta, Fh, bh, muh, zh0, fallback_cfm=1e-4,
+                           ladder_mode="lazy")
+    z_a = blcp.boxed_lcp_b(meta, Fh, bh, muh, zh0, fallback_cfm=1e-4,
+                           ladder_mode="always")
+    np.testing.assert_allclose(np.asarray(z_l), np.asarray(z_a),
+                               rtol=0, atol=1e-11)
+
+
+def test_throughput_preset_physics_parity():
+    """SolverConfig.throughput() (always-armed ladder, pgs polish off,
+    refine2/it24) must track the default solver knobs on a warm-started
+    contact rollout — the supported preset behind bench.py."""
+    import jax
+
+    from nimblephysics_tpu.batched import BatchedEngine
+    from nimblephysics_tpu.models import half_cheetah
+    from nimblephysics_tpu.simulation.world import SolverConfig
+
+    world, q0, v0 = half_cheetah()
+    eng_def = BatchedEngine(world)
+    world_t, _, _ = half_cheetah()
+    world_t.solver = SolverConfig.throughput()
+    eng_thr = BatchedEngine(world_t)
+
+    B = 3
+    q = jnp.tile(jnp.asarray(q0)[:, None], (1, B))
+    q = q.at[1].add(jnp.asarray([0.0, 0.01, -0.01]))
+    v = jnp.tile(jnp.asarray(v0)[:, None], (1, B))
+
+    def roll(eng, q, v):
+        z = jnp.zeros((eng.num_rows, B))
+
+        def body(c, _):
+            q, v, z = c
+            r = eng.step(q, v, jnp.zeros((world.num_dofs, B)), z_warm=z)
+            return (r.q, r.v, r.impulses), None
+
+        (qf, vf, _), _ = jax.lax.scan(body, (q, v, z), None, length=30)
+        return qf, vf
+
+    q_d, v_d = roll(eng_def, q, v)
+    q_t, v_t = roll(eng_thr, q, v)
+    assert np.isfinite(np.asarray(q_t)).all()
+    np.testing.assert_allclose(np.asarray(q_t), np.asarray(q_d),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_d),
+                               rtol=0, atol=5e-3)
+
+
 def test_ladder_does_not_perturb_healthy_islands():
     """On a clean resting contact the ladder must be inert (identical z)."""
     meta = _contact_meta(1)
