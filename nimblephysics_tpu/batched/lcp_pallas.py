@@ -197,6 +197,25 @@ def apgd_pallas(
     )(*F_js, b, mu, z0, isf2, Sel, lo2, hi2)
 
 
+def _pick_block(n: int, r: int, B: int, pgs_polish: bool) -> int:
+    """Largest lane-block size whose kernel fits scoped VMEM (0 = none).
+
+    Every (n, block) tile costs 4*n*block bytes and the kernel's live set
+    is ~(3r + 12) tiles (F refs + loop carries + power-iteration temps),
+    plus ~(r + 8) more when the unrolled PGS polish keeps per-row SSA
+    values alive. Below 128 lanes the kernel stops paying for itself —
+    return 0 and let the caller use the pure-JAX seed. This is how
+    Atlas/box-stack-class LCPs with hundreds of rows avoid the Mosaic
+    scoped-VMEM stack OOM observed at (n=144, r=18, block=512): 21 MB
+    against the 16 MB limit."""
+    tiles = 3 * r + 12 + ((r + 8) if pgs_polish else 0)
+    budget = 14 * 1024 * 1024
+    for cand in (512, 256, 128):
+        if B % cand == 0 and 4 * n * cand * tiles <= budget:
+            return cand
+    return 0
+
+
 def apgd_seed_tpu(meta: LcpMeta, F, b, mu, z0, cfm=0.0):
     """APGD seed with the Pallas fast path on TPU (gradient-stopped) plus
     ONE differentiable projected-gradient step re-attached. NOTE: the
@@ -230,12 +249,10 @@ def apgd_seed_tpu(meta: LcpMeta, F, b, mu, z0, cfm=0.0):
     if jax.default_backend() != "tpu" or not isinstance(cfm, (int, float)):
         return pure_seed()
     n, r, B = F.shape
-    block = 512
-    if B % block != 0:
-        if B % 128 == 0:
-            block = 128
-        else:
-            return pure_seed()
+
+    block = _pick_block(n, r, B, bool(getattr(meta, "seed_pgs_sweeps", 0)))
+    if block == 0:
+        return pure_seed()
     sg = jax.lax.stop_gradient
     z_pal = apgd_pallas(
         meta, sg(F), sg(b), sg(mu), sg(z0), float(cfm), block

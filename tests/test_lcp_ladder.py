@@ -176,3 +176,24 @@ def test_ladder_does_not_perturb_healthy_islands():
     z_no = slcp.boxed_lcp(meta, F, b, mu, z0, cfm=0.0, fallback_cfm=0.0)
     z_yes = slcp.boxed_lcp(meta, F, b, mu, z0, cfm=0.0, fallback_cfm=1e-4)
     np.testing.assert_allclose(np.asarray(z_no), np.asarray(z_yes), atol=0)
+
+
+def test_pallas_block_picker_fits_vmem():
+    """Lane-block selection for the Pallas APGD kernel: the flagship
+    bench shape keeps the full 512-lane block, box-stack-class shapes
+    step down, Atlas-class LCPs fall back to the pure-JAX seed (0)."""
+    from nimblephysics_tpu.batched.lcp_pallas import _pick_block
+
+    budget = 14 * 1024 * 1024
+    # half-cheetah bench shape: unchanged fast path.
+    assert _pick_block(60, 9, 4096, False) == 512
+    assert _pick_block(60, 9, 4096, True) == 512
+    # the observed Mosaic OOM shape (n=144, r=18, pgs polish on) must
+    # not pick 512.
+    blk = _pick_block(144, 18, 4096, True)
+    assert 0 < blk < 512
+    assert 4 * 144 * blk * (3 * 18 + 12 + 18 + 8) <= budget
+    # hundreds-of-rows LCPs: no block fits -> pure-JAX seed.
+    assert _pick_block(360, 60, 1024, True) == 0
+    # block must divide the batch.
+    assert _pick_block(60, 9, 100, False) == 0

@@ -70,3 +70,4 @@ def test_shape_meshes_cover_all_primitives():
         assert len(v) >= 3 and len(f) >= 2, t
         assert f.max() < len(v) and f.min() >= 0, t
         assert np.isfinite(v).all(), t
+
