@@ -607,16 +607,19 @@ def bias_forces(fw: FlatWorld, q, v, rels, S_list, gravity, G_list=None,
     )
 
 
-def mass_matrix(fw: FlatWorld, R_wb, p_wb, W, G_list=None):
-    """World-frame CRBA: M (nv, nv, B) from composite world-frame inertias.
+def mass_matrix_blocks(fw: FlatWorld, R_wb, p_wb, W, G_list=None):
+    """Per-skeleton diagonal blocks of the CRBA mass matrix.
 
-    Reference parity: Skeleton::getMassMatrix (same values; computed with
-    world-frame composites instead of body-frame CRBA sweeps). G_list:
-    optional per-body spatial-inertia overrides (body parameters).
+    Returns a list of (nd_s, nd_s, B) dense blocks aligned with
+    fw.world.dof_slices(). The world mass matrix is block-diagonal across
+    skeletons (no generalized coordinate couples two trees), so callers
+    that only factor/solve with M (the engine) should stay in block form:
+    a 20-box stack is twenty 6x6 lane-major Choleskys instead of one
+    120x120 dense factorization. Reference parity: per-skeleton
+    Skeleton::getMassMatrix (each skeleton owns its own M).
     """
     dtype = W.dtype
     B = W.shape[-1]
-    nv = fw.nv
     # World-frame spatial inertia per body: X^T G X, X = Ad(T_wb^-1).
     Gc: List = [None] * fw.nb
     for bi in range(fw.nb):
@@ -653,15 +656,46 @@ def mass_matrix(fw: FlatWorld, R_wb, p_wb, W, G_list=None):
             if jpk.num_dofs:
                 blocks[(jpk.q_index, jpj.q_index)] = bl.mtm(cols_of[k], Yj)
             k = jpk.parent
-    # Assemble dense (nv, nv, B), mirroring symmetric blocks.
+    # Assemble per-skeleton dense blocks, mirroring symmetric sub-blocks.
+    zero = jnp.zeros((B,), dtype=dtype)
+    out: List = []
+    for s, e in fw.world.dof_slices():
+        nd = e - s
+        if nd == 0:  # fixed/static skeleton (e.g. welded ground)
+            out.append(jnp.zeros((0, 0, B), dtype=dtype))
+            continue
+        grid = [[zero for _ in range(nd)] for _ in range(nd)]
+        for (qi, qj), blk in blocks.items():
+            if not (s <= qi < e):
+                continue  # joint-Jacobian blocks never straddle skeletons
+            ni, nj = blk.shape[0], blk.shape[1]
+            for a in range(ni):
+                for b in range(nj):
+                    grid[qi - s + a][qj - s + b] = blk[a, b]
+                    grid[qj - s + b][qi - s + a] = blk[a, b]
+        out.append(jnp.stack([jnp.stack(row) for row in grid]))
+    return out
+
+
+def mass_matrix(fw: FlatWorld, R_wb, p_wb, W, G_list=None):
+    """World-frame CRBA: M (nv, nv, B) dense (zeros across skeletons).
+
+    Reference parity: Skeleton::getMassMatrix (same values; computed with
+    world-frame composites instead of body-frame CRBA sweeps). G_list:
+    optional per-body spatial-inertia overrides (body parameters). Hot
+    paths should prefer mass_matrix_blocks — this dense form exists for
+    the Jacobian/API surface (e.g. World.getMassMatrix parity).
+    """
+    dtype = W.dtype
+    B = W.shape[-1]
+    nv = fw.nv
+    blocks = mass_matrix_blocks(fw, R_wb, p_wb, W, G_list=G_list)
     zero = jnp.zeros((B,), dtype=dtype)
     grid = [[zero for _ in range(nv)] for _ in range(nv)]
-    for (qi, qj), blk in blocks.items():
-        ni, nj = blk.shape[0], blk.shape[1]
-        for a in range(ni):
-            for b in range(nj):
-                grid[qi + a][qj + b] = blk[a, b]
-                grid[qj + b][qi + a] = blk[a, b]
+    for (s, e), blk in zip(fw.world.dof_slices(), blocks):
+        for a in range(e - s):
+            for b in range(e - s):
+                grid[s + a][s + b] = blk[a, b]
     return jnp.stack([jnp.stack(row) for row in grid])
 
 

@@ -26,7 +26,7 @@ from nimblephysics_tpu.batched.articulated import (
     bias_forces,
     fk,
     integrate_positions,
-    mass_matrix,
+    mass_matrix_blocks,
 )
 from nimblephysics_tpu.batched.collision import BatchedCollider
 from nimblephysics_tpu.batched.lcp import boxed_lcp_b
@@ -99,6 +99,109 @@ class BatchedEngine:
         for d, act in world.actuator_types.items():
             if act["kind"] != "force":
                 self.force_mask[d] = 0.0
+        # M is block-diagonal across skeletons: factor/solve per block
+        # (20-box stack = twenty 6x6 Choleskys, not one 120x120 dense).
+        self.skel_slices = world.dof_slices()
+        # Plan-time constraint islands (None = one island / disabled).
+        self.islands = (
+            self._build_islands() if world.solver.contact_islands else None
+        )
+
+    def _build_islands(self):
+        """Partition LCP rows into static constraint islands.
+
+        Connected components over dynamic skeletons, where an edge is any
+        POTENTIAL constraint row (collision-pair slot, dynamic joint
+        constraint, mimic motor) touching two of them; static (0-dof)
+        skeletons never merge components. The TPU-static analog of the
+        reference's per-step union-find island grouping
+        (ConstraintSolver.cpp:723-793): shapes must be compile-time
+        constants, so the partition is over the potential pair graph (a
+        superset of any runtime contact set — never wrong, just coarser).
+        Returns a list of (rows, dofs, meta) with >= 2 entries, or None
+        when the world is a single island (the monolithic path is
+        identical then).
+        """
+        from nimblephysics_tpu.constraint.lcp import subset_meta
+
+        w = self.world
+        slices = self.skel_slices
+        nv = w.num_dofs
+        skel_of_dof = np.full(nv, -1, dtype=np.int64)
+        for si, (s, e) in enumerate(slices):
+            skel_of_dof[s:e] = si
+
+        anc = self.fw.anc
+
+        def skel_of_body(b):
+            nz = np.nonzero(anc[int(b)])[0]
+            return int(skel_of_dof[nz[0]]) if nz.size else -1
+
+        # Per-row dynamic-skeleton touch sets, in assembler row order:
+        # [3C contact rows][limit rows][motor rows][dynamic-joint rows].
+        row_skels: List[set] = []
+        C = self.bcollider.num_contacts
+        for c in range(C):
+            ss = {
+                skel_of_body(self.bcollider.body_a[c]),
+                skel_of_body(self.bcollider.body_b[c]),
+            } - {-1}
+            row_skels += [ss, ss, ss]
+        for r in self.assembler.limit_rows:
+            row_skels.append({int(skel_of_dof[r.dof])} - {-1})
+        for mr in self.assembler.motor_rows:
+            ss = {int(skel_of_dof[mr["dof"]])}
+            if mr.get("mimic_dof") is not None:
+                ss.add(int(skel_of_dof[mr["mimic_dof"]]))
+            row_skels.append(ss - {-1})
+        for con in w.dynamic_constraints:
+            ss = {
+                skel_of_body(con["body_a"]),
+                skel_of_body(con["body_b"]),
+            } - {-1}
+            row_skels += [ss] * (6 if con["kind"] == "weld" else 3)
+        assert len(row_skels) == self.num_rows
+
+        parent = list(range(len(slices)))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for ss in row_skels:
+            it = iter(ss)
+            first = next(it, None)
+            for other in it:
+                parent[find(other)] = find(first)
+
+        comp_rows: dict = {}
+        for i, ss in enumerate(row_skels):
+            key = find(next(iter(ss))) if ss else None
+            comp_rows.setdefault(key, []).append(i)
+        # Degenerate rows (no dynamic skeleton => identically-zero
+        # Jacobian) ride along in the first real island; the LCP marks
+        # them degenerate and returns zero impulse.
+        dead = comp_rows.pop(None, [])
+        if len(comp_rows) < 2:
+            return None
+        keys = sorted(comp_rows, key=lambda k: comp_rows[k][0])
+        comp_rows[keys[0]] += dead
+        islands = []
+        for k in keys:
+            rows = np.asarray(sorted(comp_rows[k]), dtype=np.int64)
+            dofs = np.concatenate(
+                [
+                    np.arange(s, e)
+                    for si, (s, e) in enumerate(slices)
+                    if find(si) == k and e > s
+                ]
+            )
+            islands.append(
+                (rows, dofs, subset_meta(self.meta, rows, len(dofs)))
+            )
+        return islands
 
     def __hash__(self):
         return id(self)
@@ -438,6 +541,7 @@ class BatchedEngine:
         dt = w.time_step
         dtype = q.dtype
         B = q.shape[-1]
+        nv = w.num_dofs
         nrows = self.num_rows
 
         scales_b, G_list = self._prepare_body_params(body_params, dtype, B)
@@ -446,8 +550,9 @@ class BatchedEngine:
             self.fw, q, v, rels, S_list, w.gravity, G_list=G_list,
             scales=scales_b,
         )
-        M = mass_matrix(self.fw, R_wb, p_wb, W, G_list=G_list)
-        L = bl.cholesky(M)
+        Ms = mass_matrix_blocks(self.fw, R_wb, p_wb, W, G_list=G_list)
+        Ls = bl.block_cholesky(Ms)
+        sl = self.skel_slices
 
         passive = (
             -jnp.asarray(self.damping, dtype=dtype)[:, None] * v
@@ -458,8 +563,8 @@ class BatchedEngine:
             control * jnp.asarray(self.force_mask, dtype=dtype)[:, None]
             + passive
         )
-        v_pre = v + dt * bl.solve_tri_upper_t_vec(
-            L, bl.solve_tri_lower_vec(L, tau - bias)
+        v_pre = v + dt * bl.block_solve_tri_upper_t_vec(
+            Ls, sl, bl.block_solve_tri_lower_vec(Ls, sl, tau - bias)
         )
 
         lcp_valid = None
@@ -469,7 +574,7 @@ class BatchedEngine:
                 q, v_pre, cpoint, cnormal, cdepth, W, R_wb, p_wb, control
             )
             # F = J L^-T  <=>  F^T = L^-1 J^T: (nv, nrows, B).
-            Ft = bl.solve_tri_lower(L, jnp.swapaxes(Jrows, 0, 1))
+            Ft = bl.block_solve_tri_lower(Ls, sl, jnp.swapaxes(Jrows, 0, 1))
             F = jnp.swapaxes(Ft, 0, 1)  # (nrows, nv, B)
             if z_warm is None:
                 z_warm = jnp.zeros((nrows, B), dtype=dtype)
@@ -481,16 +586,43 @@ class BatchedEngine:
                 )
             if ladder_mode is None:
                 ladder_mode = getattr(w.solver, "ladder_mode", "lazy")
-            lcp_out = boxed_lcp_b(
-                self.meta, F, b, mu, z_warm, cfm=w.solver.cfm,
+            lcp_kwargs = dict(
+                cfm=w.solver.cfm,
                 fallback_cfm=fallback_cfm,
                 fallback_gradients=fallback_gradients,
                 return_valid=collect_valid,
                 ladder_mode=ladder_mode,
             )
-            z, lcp_valid = lcp_out if collect_valid else (lcp_out, None)
-            u = jnp.sum(F * z[:, None, :], axis=0)  # (nv, B)
-            v_next = v_pre + bl.solve_tri_upper_t_vec(L, u)
+            if self.islands is not None:
+                # Independent LCP per plan-time island: rows from
+                # different islands have disjoint F column support (their
+                # skeletons share no dofs), so A = F F^T is block-diagonal
+                # and the solves decouple exactly.
+                z = jnp.zeros((nrows, B), dtype=dtype)
+                u = jnp.zeros((nv, B), dtype=dtype)
+                for rows, dofs, meta_i in self.islands:
+                    F_i = F[rows][:, dofs]
+                    out = boxed_lcp_b(
+                        meta_i, F_i, b[rows], mu[rows], z_warm[rows],
+                        **lcp_kwargs,
+                    )
+                    z_i, val_i = out if collect_valid else (out, None)
+                    z = z.at[rows].set(z_i)
+                    u = u.at[dofs].add(
+                        jnp.sum(F_i * z_i[:, None, :], axis=0)
+                    )
+                    if collect_valid:
+                        lcp_valid = (
+                            val_i if lcp_valid is None else lcp_valid & val_i
+                        )
+            else:
+                lcp_out = boxed_lcp_b(self.meta, F, b, mu, z_warm,
+                                      **lcp_kwargs)
+                z, lcp_valid = (
+                    lcp_out if collect_valid else (lcp_out, None)
+                )
+                u = jnp.sum(F * z[:, None, :], axis=0)  # (nv, B)
+            v_next = v_pre + bl.block_solve_tri_upper_t_vec(Ls, sl, u)
         else:
             v_next = v_pre
             z = jnp.zeros((0, B), dtype=dtype)

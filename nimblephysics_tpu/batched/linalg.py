@@ -20,10 +20,21 @@ world batch.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax.scipy.linalg import solve_triangular as _solve_triangular
+
+# Above this matrix dimension, factorizations switch from the unrolled
+# lane-major path (fastest for the small per-world systems the engine is
+# built around, but O(n^2)-O(n^3) in emitted HLO ops) to XLA's native
+# batched Cholesky / triangular-solve (O(1) ops to compile, tuned blocked
+# kernels) with a layout round-trip (n, n, B) <-> (B, n, n). The unrolled
+# path at n = 120 emits ~300k HLO ops and stalls XLA for tens of minutes
+# (the round-4 box-stack compile blowup); the native path compiles in
+# seconds and the O(n^3) FLOPs dominate the transpose cost at this size.
+_NATIVE_N = 48
 
 
 def mv(A, x):
@@ -93,12 +104,19 @@ def const(M, dtype):
 
 
 def cholesky(A, eps: float = 0.0):
-    """Unrolled lower-Cholesky of an SPD batch: (n, n, B) -> (n, n, B).
+    """Lower-Cholesky of an SPD batch: (n, n, B) -> (n, n, B).
 
-    Each emitted op is (B,)-wide; total ~n^3/6 FMAs + n sqrt/div. `eps`
-    guards the pivot (A must be SPD up to roundoff).
+    n < _NATIVE_N: unrolled — each emitted op is (B,)-wide; total ~n^3/6
+    FMAs + n sqrt/div, with `eps` guarding the pivot (A must be SPD up to
+    roundoff). n >= _NATIVE_N: XLA's native batched Cholesky (callers at
+    this size — the engine mass matrix and the LCP pinned solve — ridge
+    their inputs, so the pivot guard is not needed).
     """
     n = A.shape[0]
+    if n >= _NATIVE_N:
+        return jnp.moveaxis(
+            jnp.linalg.cholesky(jnp.moveaxis(A, -1, 0)), 0, -1
+        )
     L: List[List] = [[None] * n for _ in range(n)]
     zero = jnp.zeros_like(A[0, 0])
     for j in range(n):
@@ -123,6 +141,11 @@ def cholesky(A, eps: float = 0.0):
 def solve_tri_lower(L, B):
     """L Y = B with L (n, n, B) lower-triangular, B (n, m, B) -> Y."""
     n = L.shape[0]
+    if n >= _NATIVE_N:
+        Y = _solve_triangular(
+            jnp.moveaxis(L, -1, 0), jnp.moveaxis(B, -1, 0), lower=True
+        )
+        return jnp.moveaxis(Y, 0, -1)
     Y: List = [None] * n
     for i in range(n):
         s = B[i]
@@ -135,6 +158,14 @@ def solve_tri_lower(L, B):
 def solve_tri_upper_t(L, B):
     """L^T X = B (back substitution), B (n, m, B) -> X."""
     n = L.shape[0]
+    if n >= _NATIVE_N:
+        X = _solve_triangular(
+            jnp.moveaxis(L, -1, 0),
+            jnp.moveaxis(B, -1, 0),
+            lower=True,
+            trans=1,
+        )
+        return jnp.moveaxis(X, 0, -1)
     X: List = [None] * n
     for i in reversed(range(n)):
         s = B[i]
@@ -157,6 +188,60 @@ def spd_solve(A, b, eps: float = 0.0):
     """A x = b for SPD A (n, n, B), b (n, B); unrolled Cholesky solve."""
     L = cholesky(A, eps=eps)
     return solve_tri_upper_t_vec(L, solve_tri_lower_vec(L, b))
+
+
+# -- Block-diagonal factorizations (multi-skeleton worlds) -----------------
+#
+# The world mass matrix is block-diagonal across skeletons (no generalized
+# coordinate couples two trees), so an N-skeleton world factors as N small
+# independent Choleskys instead of one (nv, nv) dense one: a 20-box stack
+# is twenty 6x6 lane-major factorizations (on the fast unrolled path)
+# rather than a 120x120 dense solve — linear compile size AND ~nv^2/36x
+# fewer FLOPs. The reference reaches the same structure through per-
+# skeleton Featherstone passes (dart/dynamics/Skeleton.cpp
+# computeForwardDynamics — each skeleton owns its own mass matrix).
+
+
+def block_cholesky(Ms: Sequence) -> List:
+    """Per-block lower Cholesky: [(nd, nd, B)] -> [(nd, nd, B)].
+
+    Zero-dof blocks (fixed/static skeletons) pass through unchanged.
+    """
+    return [cholesky(M) if M.shape[0] else M for M in Ms]
+
+
+def block_solve_tri_lower(
+    Ls: Sequence, slices: Sequence[Tuple[int, int]], B
+):
+    """Block-diag L Y = B; B (n, m, B) split along axis 0 by `slices`."""
+    return jnp.concatenate(
+        [
+            solve_tri_lower(L, B[s:e]) if e > s else B[s:e]
+            for L, (s, e) in zip(Ls, slices)
+        ],
+        axis=0,
+    )
+
+
+def block_solve_tri_upper_t(
+    Ls: Sequence, slices: Sequence[Tuple[int, int]], B
+):
+    """Block-diag L^T X = B; B (n, m, B) split along axis 0 by `slices`."""
+    return jnp.concatenate(
+        [
+            solve_tri_upper_t(L, B[s:e]) if e > s else B[s:e]
+            for L, (s, e) in zip(Ls, slices)
+        ],
+        axis=0,
+    )
+
+
+def block_solve_tri_lower_vec(Ls, slices, b):
+    return block_solve_tri_lower(Ls, slices, b[:, None, :])[:, 0, :]
+
+
+def block_solve_tri_upper_t_vec(Ls, slices, b):
+    return block_solve_tri_upper_t(Ls, slices, b[:, None, :])[:, 0, :]
 
 
 def rodrigues(axis_K, axis_K2, theta, dtype):

@@ -85,6 +85,33 @@ class LcpMeta:
         return len(self.findex)
 
 
+def subset_meta(meta: LcpMeta, rows: np.ndarray, nv: int) -> LcpMeta:
+    """Restrict a row plan to `rows` (a static constraint island).
+
+    Friction rows must travel with their bounding normal row (they share a
+    contact, hence a skeleton pair, hence an island), so findex remaps
+    cleanly. nv = the island's dof count (re-sizes k_active). Reference
+    analog: ConstraintSolver's per-island ConstrainedGroups each get their
+    own LCP (ConstraintSolver.cpp:723-793) — here the grouping is the
+    plan-time connected component over the POTENTIAL pair graph.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    pos = np.full(meta.n, -1, dtype=np.int64)
+    pos[rows] = np.arange(len(rows))
+    fi = meta.findex[rows]
+    fi_new = np.where(fi >= 0, pos[np.maximum(fi, 0)], -1).astype(np.int32)
+    if np.any((fi >= 0) & (fi_new < 0)):
+        raise ValueError("friction row split from its normal row")
+    return dataclasses.replace(
+        meta,
+        findex=fi_new,
+        is_friction=meta.is_friction[rows],
+        lo_const=None if meta.lo_const is None else meta.lo_const[rows],
+        hi_const=None if meta.hi_const is None else meta.hi_const[rows],
+        k_active=min(len(rows), max(16, 2 * nv + 8)),
+    )
+
+
 def _dtype_tol(meta: LcpMeta, dtype) -> float:
     eps = float(jnp.finfo(dtype).eps)
     return max(meta.tol, 100.0 * eps)

@@ -95,6 +95,15 @@ class SolverConfig:
     contact_clipping_depth: float = 0.03
     # Activation margin for joint-limit constraint rows.
     joint_limit_margin: float = 0.0
+    # Plan-time constraint islands: partition the LCP by connected
+    # components of the POTENTIAL collision-pair graph over dynamic
+    # skeletons (static bodies never merge components — N boxes over a
+    # ground plane with inter-box collision filtered are N independent
+    # 6-dof LCPs, not one dense 6N-dof one). The TPU-static analog of the
+    # reference's per-step union-find islands
+    # (ConstraintSolver.cpp:723-793). Worlds whose pair graph is one
+    # component (a stack, a single robot) are unaffected.
+    contact_islands: bool = True
 
     @classmethod
     def throughput(cls, **overrides) -> "SolverConfig":
