@@ -27,18 +27,35 @@ import jax.numpy as jnp
 INNER_STEPS = 100
 REPEATS = 3
 
-# Many-contact scaling sweep (VERDICT r3 #6): batch sizes shrink as the
-# per-world LCP grows (full-world dense rows ~ O(boxes)); steps/sec/chip
-# stays comparable because the metric is env-steps, not lanes.
-CONFIGS = ((2, 4096), (3, 4096), (5, 2048), (10, 1024), (20, 256))
+# Many-contact scaling sweep (VERDICT r3 #6): (n_boxes, batch,
+# contact_cap). Potential contact slots grow O(boxes^2) (every box pair
+# is a potential contact) while the ACTIVE set grows O(boxes) (only
+# touching interfaces), so the 5+-box legs arm
+# SolverConfig.contact_cap — per-lane top-k active-contact selection,
+# the static-shape analog of the reference's per-step broadphase culling
+# (ConstraintSolver.cpp:542-640). Caps are ~2x the standing stack's
+# active slot count (8 slots per touching interface).
+CONFIGS = (
+    (2, 4096, None),
+    (3, 4096, None),
+    (5, 4096, 48),
+    (10, 2048, 96),
+    (20, 1024, 192),
+)
 
 
 def main():
+    import dataclasses
+
     from nimblephysics_tpu.batched import BatchedEngine
     from nimblephysics_tpu.models import box_stack
 
-    for n_boxes, BATCH in CONFIGS:
+    for n_boxes, BATCH, cap in CONFIGS:
         world, q0, v0 = box_stack(n_boxes=n_boxes)
+        if cap is not None:
+            world.solver = dataclasses.replace(
+                world.solver, contact_cap=cap
+            )
         engine = BatchedEngine(world)
         dtype = jnp.float32
         nv = world.num_dofs
@@ -88,6 +105,11 @@ def main():
                     "n_boxes": n_boxes,
                     "batch": BATCH,
                     "lcp_rows": int(engine.meta.n),
+                    "solved_rows": int(
+                        engine.meta_cap.n
+                        if engine.contact_cap is not None
+                        else engine.meta.n
+                    ),
                     "value": round(BATCH * INNER_STEPS / best, 1),
                     "unit": "steps/sec/chip",
                     "stack_standing": standing,

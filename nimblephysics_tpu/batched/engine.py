@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,6 +106,64 @@ class BatchedEngine:
         # Plan-time constraint islands (None = one island / disabled).
         self.islands = (
             self._build_islands() if world.solver.contact_islands else None
+        )
+        # Fixed-capacity active-contact selection (SolverConfig.contact_cap):
+        # per lane, solve the LCP on only the `cap` deepest contact slots.
+        # The static-shape analog of runtime broadphase culling — see
+        # _build_cap_meta. Applied on the monolithic path only (an
+        # island-partitioned world is already small per island).
+        cap = world.solver.contact_cap
+        self.contact_cap = None
+        if (
+            cap is not None
+            and self.islands is None
+            and self.bcollider.num_contacts > cap
+        ):
+            self.contact_cap = int(cap)
+            self.meta_cap = self._build_cap_meta(int(cap))
+
+    def _build_cap_meta(self, cap: int):
+        """LcpMeta for the top-`cap`-contacts selected row set.
+
+        Selected rows are [3*cap contact rows][all non-contact rows]: every
+        contact slot shares the same per-row plan ([normal, friction,
+        friction] with findex -> its normal, bounds [0, inf)), so a
+        per-lane gather of WHICH slots occupy the positions leaves the
+        row plan static. Non-contact rows (limits/motors/dynamic joints)
+        are never culled. Reference analog: the per-step constraint list
+        the reference builds from broadphase-surviving pairs
+        (ConstraintSolver.cpp:542-640) — here the survivor set is chosen
+        by top-k penetration depth at fixed compile-time capacity.
+        """
+        import dataclasses as _dc
+
+        meta = self.meta
+        C3 = 3 * self.bcollider.num_contacts
+        n_extra = meta.n - C3
+        n_sel = 3 * cap + n_extra
+        findex = np.full(n_sel, -1, dtype=np.int32)
+        is_friction = np.zeros(n_sel, dtype=bool)
+        for c in range(cap):
+            findex[3 * c + 1] = 3 * c
+            findex[3 * c + 2] = 3 * c
+            is_friction[3 * c + 1] = True
+            is_friction[3 * c + 2] = True
+        if meta.lo_const is None:
+            lo = hi = None
+        else:
+            lo = np.zeros(n_sel)
+            hi = np.full(n_sel, np.inf)
+            lo[3 * cap :] = meta.lo_const[C3:]
+            hi[3 * cap :] = meta.hi_const[C3:]
+        return _dc.replace(
+            meta,
+            findex=findex,
+            is_friction=is_friction,
+            lo_const=lo,
+            hi_const=hi,
+            k_active=min(
+                n_sel, max(16, 2 * self.world.num_dofs + 8)
+            ),
         )
 
     def _build_islands(self):
@@ -615,6 +674,63 @@ class BatchedEngine:
                         lcp_valid = (
                             val_i if lcp_valid is None else lcp_valid & val_i
                         )
+            elif self.contact_cap is not None:
+                # Per-lane top-k active-contact selection: gather the
+                # `cap` deepest contact slots (friction rows ride with
+                # their normal), solve the capped LCP, scatter impulses
+                # back. Unselected slots get zero impulse this step —
+                # exact whenever a lane has <= cap penetrating slots
+                # (see _build_cap_meta).
+                cap = self.contact_cap
+                C3 = 3 * self.bcollider.num_contacts
+                sg = jax.lax.stop_gradient
+                valid_c = (cdepth > 0.0) & (
+                    cdepth <= w.solver.contact_clipping_depth
+                )
+                score = jnp.where(sg(valid_c), sg(cdepth), -1.0)
+                _, slots = jax.lax.top_k(jnp.swapaxes(score, 0, 1), cap)
+                slots = jnp.sort(slots, axis=1)  # original row order
+                rows_idx = jnp.swapaxes(
+                    (
+                        3 * slots[:, :, None]
+                        + jnp.arange(3)[None, None, :]
+                    ).reshape(B, 3 * cap),
+                    0,
+                    1,
+                )  # (3cap, B)
+
+                def take_rows(X):
+                    return jnp.concatenate(
+                        [jnp.take_along_axis(X[:C3], rows_idx, axis=0),
+                         X[C3:]],
+                        axis=0,
+                    )
+
+                F_sel = jnp.concatenate(
+                    [
+                        jnp.take_along_axis(
+                            F[:C3], rows_idx[:, None, :], axis=0
+                        ),
+                        F[C3:],
+                    ],
+                    axis=0,
+                )
+                out = boxed_lcp_b(
+                    self.meta_cap, F_sel, take_rows(b), take_rows(mu),
+                    take_rows(z_warm), **lcp_kwargs,
+                )
+                z_sel, lcp_valid = (
+                    out if collect_valid else (out, None)
+                )
+                u = jnp.sum(F_sel * z_sel[:, None, :], axis=0)
+                lanes = jnp.arange(B)[None, :]
+                z = (
+                    jnp.zeros((nrows, B), dtype=dtype)
+                    .at[rows_idx, lanes]
+                    .set(z_sel[: 3 * cap])
+                )
+                if C3 < nrows:
+                    z = z.at[C3:].set(z_sel[3 * cap :])
             else:
                 lcp_out = boxed_lcp_b(self.meta, F, b, mu, z_warm,
                                       **lcp_kwargs)

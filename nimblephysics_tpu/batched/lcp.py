@@ -102,13 +102,51 @@ def _apgd(meta: LcpMeta, F, cfm, b, mu, z0):
 
 
 def _pgs(meta: LcpMeta, F, cfm, b, mu, z0):
-    """Row-sequential PGS sweeps via the running projection u = F^T z."""
+    """Row-sequential PGS sweeps via the running projection u = F^T z.
+
+    Small systems unroll the row loop in Python (each op (B,)-wide, no
+    dynamic slicing). Above ~96 rows the loop is ROLLED into a fori_loop
+    with dynamic row indexing: identical sweep order and arithmetic, but
+    O(1) emitted HLO instead of O(n) per sweep — a 1320-row 10-box stack
+    would otherwise emit ~200k ops and stall XLA (round-4 compile bomb).
+    """
     n = meta.n
     diag = _diag_A(F, cfm)
     inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
     isf = np.asarray(meta.is_friction)
     fidx = np.asarray(np.maximum(meta.findex, 0))
     lo_c, hi_c = _const_bounds(meta, F.dtype)
+    u0 = jnp.sum(F * z0[:, None, :], axis=0)
+
+    if n > 96:
+        isf_j = jnp.asarray(isf)
+        fidx_j = jnp.asarray(fidx)
+        lo_j = jnp.broadcast_to(lo_c, (n, 1))
+        hi_j = jnp.broadcast_to(hi_c, (n, 1))
+
+        def row(i, carry):
+            z, u = carry
+            Fi = jax.lax.dynamic_index_in_dim(F, i, 0, keepdims=False)
+            zi_old = jax.lax.dynamic_index_in_dim(z, i, 0, keepdims=False)
+            Az_i = jnp.sum(Fi * u, axis=0) + cfm * zi_old
+            zi = zi_old + (b[i] - Az_i) * inv_diag[i]
+            bound = mu[i] * z[fidx_j[i]]
+            zi = jnp.where(
+                isf_j[i],
+                jnp.clip(zi, -bound, bound),
+                jnp.clip(zi, lo_j[i, 0], hi_j[i, 0]),
+            )
+            u = u + Fi * (zi - zi_old)[None, :]
+            z = jax.lax.dynamic_update_index_in_dim(z, zi, i, 0)
+            return (z, u)
+
+        def sweep(carry, _):
+            return jax.lax.fori_loop(0, n, row, carry), None
+
+        (z, _), _ = jax.lax.scan(
+            sweep, (z0, u0), None, length=meta.iterations
+        )
+        return z
 
     def sweep(carry, _):
         z, u = carry
@@ -125,7 +163,6 @@ def _pgs(meta: LcpMeta, F, cfm, b, mu, z0):
             z = z.at[i].set(zi)
         return (z, u), None
 
-    u0 = jnp.sum(F * z0[:, None, :], axis=0)
     (z, _), _ = jax.lax.scan(sweep, (z0, u0), None, length=meta.iterations)
     return z
 
@@ -233,9 +270,8 @@ def _pinned_solve(
         # (U V^T + cfm I)|_S x = rhs via Woodbury — x = (rhs - U w)/cfm
         # with (cfm I_r + V^T U) w = V^T rhs. The small nonsymmetric r x r
         # system is solved through ridge normal equations.
-        K = cfm * jnp.eye(r, dtype=dtype)[..., None] + jnp.sum(
-            H[:, :, None, :] * U[:, None, :, :], axis=0
-        )  # (r, r, B) = cfm I + V^T U
+        K = cfm * jnp.eye(r, dtype=dtype)[..., None] + bl.gram(H, U)
+        # (r, r, B) = cfm I + V^T U
 
         def solve_once(rhs_S):
             Vt_rhs = jnp.sum(H * rhs_S[:, None, :], axis=0)  # (r, B)
@@ -248,8 +284,8 @@ def _pinned_solve(
     else:
 
         def solve_once(rhs_S):
-            P1 = jnp.sum(U[:, :, None, :] * U[:, None, :, :], axis=0)
-            P2 = jnp.sum(H[:, :, None, :] * H[:, None, :, :], axis=0)
+            P1 = bl.gram(U, U)
+            P2 = bl.gram(H, H)
             Ut_rhs = jnp.sum(U * rhs_S[:, None, :], axis=0)  # (r, B)
             beta = spd(P1, Ut_rhs)
             alpha = spd(P2, beta)

@@ -103,6 +103,23 @@ def const(M, dtype):
     return jnp.asarray(np.asarray(M), dtype=dtype)[..., None]
 
 
+def gram(U, V):
+    """Batched Gram product U^T V: (n, r, B) x (n, s, B) -> (r, s, B).
+
+    Small problems use broadcast multiply + lane-major reduce (fuses into
+    neighboring elementwise chains). Large ones (n*r*s above ~32k per
+    lane) switch to einsum/dot_general so XLA contracts on the MXU
+    instead of materializing an (n, r, s, B) broadcast — at Atlas/
+    box-stack scale (n in the thousands, r >= 30) the broadcast form is
+    both a compile-size and an HBM-traffic hazard.
+    """
+    n, r = U.shape[0], U.shape[1]
+    s = V.shape[1]
+    if n * r * s <= 32768:
+        return jnp.sum(U[:, :, None, :] * V[:, None, :, :], axis=0)
+    return jnp.einsum("irb,isb->rsb", U, V, optimize=True)
+
+
 def cholesky(A, eps: float = 0.0):
     """Lower-Cholesky of an SPD batch: (n, n, B) -> (n, n, B).
 

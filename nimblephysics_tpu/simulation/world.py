@@ -104,6 +104,19 @@ class SolverConfig:
     # (ConstraintSolver.cpp:723-793). Worlds whose pair graph is one
     # component (a stack, a single robot) are unaffected.
     contact_islands: bool = True
+    # Fixed-capacity ACTIVE contact selection (None = solve every
+    # potential contact slot). When the world's potential-contact count C
+    # exceeds this cap, each lane solves its LCP on only the `contact_cap`
+    # deepest slots (top-k by penetration, friction rows riding with
+    # their normal); unselected slots get zero impulse that step. This is
+    # the compile-time-static TPU analog of runtime broadphase culling
+    # (the reference prunes non-touching pairs per step before building
+    # constraints, ConstraintSolver.cpp:542-640): a 20-box world has
+    # C(20,2)+20 potential pairs but only ~O(20) touching interfaces, so
+    # the LCP shrinks ~8x with no change to the resting physics. Lanes
+    # with MORE than contact_cap genuinely-penetrating slots drop the
+    # shallowest — pick the cap generously above the expected active set.
+    contact_cap: Optional[int] = None
 
     @classmethod
     def throughput(cls, **overrides) -> "SolverConfig":
